@@ -234,11 +234,13 @@ sub = jax.jit(_sub_raw)
 neg = jax.jit(_neg_raw)
 
 
-@partial(jax.jit, static_argnums=1)
-def mul_small(a: jnp.ndarray, c: int) -> jnp.ndarray:
+def _mul_small_raw(a: jnp.ndarray, c: int) -> jnp.ndarray:
     if c * LOOSE0 > INT32_MAX:  # too big for a scalar multiply: full mul
         return _mul_raw(a, jnp.asarray(from_int(c)))
     return _reduce_bounded(a * jnp.int32(c), [b * c for b in CONTRACT])
+
+
+mul_small = partial(jax.jit, static_argnums=1)(_mul_small_raw)
 
 
 def _mul_raw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -382,11 +384,13 @@ def select(cond: jnp.ndarray, t: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[..., None], t, f)
 
 
-@jax.jit
-def cabs(a: jnp.ndarray) -> jnp.ndarray:
+def _cabs_raw(a: jnp.ndarray) -> jnp.ndarray:
     bias = jnp.asarray(BIAS)
     negated = _reduce_bounded(bias - a, [int(v) for v in BIAS])
     return select(_is_negative_raw(a), negated, a)
+
+
+cabs = jax.jit(_cabs_raw)
 
 
 def to_bytes(x: jnp.ndarray) -> np.ndarray:
