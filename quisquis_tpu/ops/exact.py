@@ -202,11 +202,40 @@ def pt_base_mul(s: int) -> Point:
 
 
 def pt_msm(scalars, points) -> Point:
-    """Multi-scalar multiplication (reference, naive)."""
-    acc = IDENTITY
-    for s, p in zip(scalars, points):
-        acc = pt_add(acc, pt_mul(s, p))
-    return acc
+    """Multi-scalar multiplication (Pippenger bucket method for larger sets)."""
+    scalars = [s % L for s in scalars]
+    n = len(scalars)
+    if n == 0:
+        return IDENTITY
+    if n < 16:
+        acc = IDENTITY
+        for s, p in zip(scalars, points):
+            acc = pt_add(acc, pt_mul(s, p))
+        return acc
+    c = 6 if n < 500 else 8
+    nbuckets = 1 << c
+    windows = -(-253 // c)
+    result = IDENTITY
+    for w in range(windows - 1, -1, -1):
+        if w != windows - 1:
+            for _ in range(c):
+                result = pt_double(result)
+        buckets = [None] * nbuckets
+        shift = w * c
+        for s, p in zip(scalars, points):
+            digit = (s >> shift) & (nbuckets - 1)
+            if digit:
+                buckets[digit] = p if buckets[digit] is None else pt_add(buckets[digit], p)
+        running = None
+        acc = None
+        for b in reversed(buckets[1:]):
+            if b is not None:
+                running = b if running is None else pt_add(running, b)
+            if running is not None:
+                acc = running if acc is None else pt_add(acc, running)
+        if acc is not None:
+            result = pt_add(result, acc)
+    return result
 
 
 def pt_eq(p: Point, q: Point) -> bool:
