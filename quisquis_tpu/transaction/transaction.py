@@ -1,0 +1,222 @@
+"""Full QuisQuis transaction orchestration.
+
+Functional port of the reference's transaction module
+(/root/reference/src/transaction/transaction.rs:28-749) with its bit-rotted
+call sites repaired (the module is excluded from the reference build at
+src/lib.rs:51; e.g. it calls `zero_balance_account_prover` with a slice at
+transaction.rs:311 where the vector variant is required). The 12-step
+bulletproof flow (transaction.rs:487-749):
+
+ 1. values -> scalars; base pk
+ 2. input shuffle + proof + self-verify
+ 3. delta/epsilon accounts (zero-sum rscalars)
+ 4. delta-compact DLEQ + epsilon identity check + verify
+ 5. update delta accounts; slice anonymity set
+ 6. update-account DLOG prove/verify on the anonymity slice
+ 7. zero-balance proof for on-the-fly anonymity accounts
+ 8. sender account proof (emits sender epsilon accounts)
+ 9. aggregated/vector 64-bit range proofs over [sender balances || receiver amounts]
+10. output shuffle + proof + verify
+11. assemble Transaction
+
+Generalized beyond the reference's fixed 9: any perfect-square anonymity
+set size (9, 64 = the multi-host config).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from ..ops import exact as ex
+from ..primitives.keys import RistrettoPublicKey, RistrettoSecretKey
+from ..accounts.accounts import Account
+from ..accounts.transcript import Transcript, SeededRng
+from ..accounts.prover import Prover
+from ..accounts.verifier import Verifier
+from ..shuffle.shuffle import Shuffle, ShuffleProof, ShuffleStatement
+
+L = ex.L
+
+
+@dataclass
+class Receiver:
+    amount: int
+    public_key: RistrettoPublicKey
+
+
+@dataclass
+class Sender:
+    total_amount: int  # negative: amount leaving the account
+    account: Account
+    receivers: List[Receiver]
+
+
+@dataclass
+class Transaction:
+    input_account_vector: List[Account]
+    updated_account_vector: List[Account]
+    account_delta_vector: List[Account]
+    account_epsilon_vector: List[Account]
+    account_updated_delta_vector: List[Account]
+    output_account_vector: List[Account]
+
+    @staticmethod
+    def generate_value_vector(balance: int, n: int = 9) -> List[int]:
+        return [-balance, balance] + [0] * (n - 2)
+
+
+def generate_value_and_account_vector(
+    tx_vector: Sequence[Sender], rng: Optional[SeededRng] = None, n: int = 9,
+) -> Tuple[List[int], List[Account], List[int], int, int, int]:
+    """Build value/account vectors, padding to n with fresh zero-balance
+    anonymity accounts (transaction.rs:103-164)."""
+    if rng is None:
+        rng = SeededRng()
+    if len(tx_vector) >= n:
+        raise ValueError("account count is more than anonymity set size")
+    value_vector = [s.total_amount for s in tx_vector]
+    account_vector = [s.account for s in tx_vector]
+    senders_count = len(tx_vector)
+    receivers_count = 0
+    anonymity_scalars: List[int] = []
+    for sender in tx_vector:
+        for rec in sender.receivers:
+            receivers_count += 1
+            value_vector.append(rec.amount)
+            acc, _ = Account.generate_account(rec.public_key, rng)
+            account_vector.append(acc)
+    if not (senders_count < n and receivers_count < n
+            and senders_count + receivers_count <= n):
+        raise ValueError("senders and receivers count should be less than set size")
+    diff = n - (senders_count + receivers_count)
+    pk_anonymity = RistrettoPublicKey.update_public_key(
+        account_vector[0].pk, rng.random_scalar())
+    for _ in range(diff):
+        value_vector.append(0)
+        acc, comm_scalar = Account.generate_account(
+            RistrettoPublicKey.update_public_key(pk_anonymity,
+                                                 rng.random_scalar()), rng)
+        account_vector.append(acc)
+        anonymity_scalars.append(comm_scalar)
+    return (value_vector, account_vector, anonymity_scalars, diff,
+            senders_count, receivers_count)
+
+
+def create_transaction(
+    value_vector: Sequence[int],
+    account_vector: Sequence[Account],
+    sender_updated_balance: Sequence[int],
+    sender_sk: Sequence[RistrettoSecretKey],
+    anonymity_comm_scalar: Sequence[int],
+    anonymity_account_diff: int,
+    receiver_updated_balance: Sequence[int],
+    senders_count: int,
+    receivers_count: int,
+    rng: Optional[SeededRng] = None,
+) -> Tuple[Transaction, list, ShuffleProof, ShuffleStatement,
+           ShuffleProof, ShuffleStatement]:
+    """The bulletproof transaction path (create_quuisquis_transaction_bulletproof)."""
+    if rng is None:
+        rng = SeededRng()
+    n = len(account_vector)
+    assert math.isqrt(n) ** 2 == n
+
+    value_vector_scalar = [v % L for v in value_vector]
+    base_pk = RistrettoPublicKey.generate_base_pk()
+
+    # Step 1-2: input shuffle + proof
+    input_shuffle = Shuffle.input_shuffle(list(account_vector), rng=rng)
+    updated_accounts = input_shuffle.get_outputs_vector()
+    tp = Transcript(b"QuisQuisProof")
+    qq_prover = Prover(b"QuisQuis", tp, rng=rng)
+    input_shuffle_proof, input_shuffle_statement = \
+        ShuffleProof.create_shuffle_proof(qq_prover, input_shuffle, rng=rng)
+    tv = Transcript(b"QuisQuisProof")
+    qq_verifier = Verifier(b"QuisQuis", tv)
+    input_shuffle_proof.verify(qq_verifier, input_shuffle_statement,
+                               input_shuffle.get_inputs_vector(),
+                               updated_accounts)
+
+    # Step 3: delta/epsilon accounts
+    delta_accounts, epsilon_accounts, delta_rscalar = \
+        Account.create_delta_and_epsilon_accounts(
+            updated_accounts, value_vector_scalar, base_pk, rng)
+
+    # Step 4: delta-compact DLEQ
+    zv, zr1, zr2, x = Prover.verify_delta_compact_prover(
+        delta_accounts, epsilon_accounts, delta_rscalar, value_vector_scalar,
+        qq_prover).get_dleq()
+    Verifier.verify_delta_identity_check(epsilon_accounts)
+    Verifier.verify_delta_compact_verifier(
+        delta_accounts, epsilon_accounts, zv, zr1, zr2, x, qq_verifier)
+
+    # Step 5: update delta accounts, slice anonymity set
+    updated_delta_accounts = Account.update_delta_accounts(
+        updated_accounts, delta_accounts)
+    anonymity_index = n - anonymity_account_diff
+    updated_accounts_slice = updated_accounts[anonymity_index:n]
+    updated_delta_accounts_slice = updated_delta_accounts[anonymity_index:n]
+    rscalars_slice = delta_rscalar[anonymity_index:n]
+
+    # Step 6: update-account DLOG on the anonymity slice
+    z_vec, x_dlog = Prover.verify_update_account_prover(
+        updated_accounts_slice, updated_delta_accounts_slice, rscalars_slice,
+        qq_prover).get_dlog()
+    Verifier.verify_update_account_verifier(
+        updated_accounts_slice, updated_delta_accounts_slice, z_vec, x_dlog,
+        qq_verifier)
+
+    # Step 7: zero-balance proof for the on-the-fly anonymity accounts
+    # (reference calls the single-account prover with a slice,
+    # transaction.rs:311 — repaired to the vector variant)
+    z_zero, x_zero = Prover.zero_balance_account_vector_prover(
+        list(account_vector[anonymity_index:n]), list(anonymity_comm_scalar),
+        qq_prover).get_dlog()
+    Verifier.zero_balance_account_vector_verifier(
+        list(account_vector[anonymity_index:n]), z_zero, x_zero, qq_verifier)
+
+    # Step 8: sender account proof
+    updated_delta_account_sender = updated_delta_accounts[:senders_count]
+    eps_sender_accounts, eps_sender_rscalars, sigma_dleq = \
+        Prover.verify_account_prover(
+            updated_delta_account_sender, list(sender_updated_balance),
+            list(sender_sk), qq_prover, base_pk)
+    zv_a, zsk_a, zr_a, x_a = sigma_dleq.get_dleq()
+    Verifier.verify_account_verifier_bulletproof(
+        updated_delta_account_sender, eps_sender_accounts, base_pk,
+        zv_a, zsk_a, zr_a, x_a, qq_verifier)
+
+    # Step 9: range proofs over [sender updated balances || receiver amounts]
+    bl_rp_vector = list(sender_updated_balance) + list(receiver_updated_balance)
+    rec_rscalars_slice = delta_rscalar[senders_count:senders_count + receivers_count]
+    scalars_bp_vector = list(eps_sender_rscalars) + list(rec_rscalars_slice)
+    range_proofs = qq_prover.verify_non_negative_sender_receiver_prover(
+        bl_rp_vector, scalars_bp_vector)
+    receiver_eps_slice = epsilon_accounts[senders_count:
+                                          senders_count + receivers_count]
+    bp_epsilon_vec = list(eps_sender_accounts) + list(receiver_eps_slice)
+    if len(range_proofs) == 1:
+        qq_verifier.verify_non_negative_sender_receiver_bulletproof_batch_verifier(
+            bp_epsilon_vec, range_proofs[0])
+    else:
+        qq_verifier.verify_non_negative_sender_receiver_bulletproof_vector_verifier(
+            bp_epsilon_vec, range_proofs)
+
+    # Step 10: output shuffle + proof (continues the same transcript,
+    # transaction.rs:704-709)
+    output_shuffle = Shuffle.output_shuffle(updated_delta_accounts, rng=rng)
+    output_accounts = output_shuffle.get_outputs_vector()
+    output_shuffle_proof, output_shuffle_statement = \
+        ShuffleProof.create_shuffle_proof(qq_prover, output_shuffle, rng=rng)
+    output_shuffle_proof.verify(qq_verifier, output_shuffle_statement,
+                                output_shuffle.get_inputs_vector(),
+                                output_accounts)
+
+    # Step 11: assemble
+    tx = Transaction(
+        input_shuffle.get_inputs_vector(), updated_accounts, delta_accounts,
+        epsilon_accounts, updated_delta_accounts, output_accounts)
+    return (tx, range_proofs, input_shuffle_proof, input_shuffle_statement,
+            output_shuffle_proof, output_shuffle_statement)

@@ -1,0 +1,111 @@
+"""Transaction orchestration + address tests.
+
+Mirrors the reference's (dead) transaction tests
+(src/transaction/transaction.rs:759-1004) with the repaired API, and the
+address roundtrips (src/util/address.rs tests).
+"""
+
+import pytest
+
+from quisquis_tpu.ops import exact as ex
+from quisquis_tpu.primitives.keys import RistrettoPublicKey, RistrettoSecretKey
+from quisquis_tpu.accounts.accounts import Account
+from quisquis_tpu.accounts.transcript import SeededRng
+from quisquis_tpu.transaction.transaction import (
+    Sender, Receiver, Transaction, create_transaction,
+    generate_value_and_account_vector)
+from quisquis_tpu.utils.address import Address, Network, AddressType
+
+
+def rng(tag=b"tx"):
+    return SeededRng(seed=tag)
+
+
+def test_generate_value_and_account_vector():
+    r = rng()
+    # sender with 10, sending 5 to a receiver
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    acc, _ = Account.generate_account(pk, r)
+    acc = Account.update_account(acc, 10, r.random_scalar(), r.random_scalar())
+    rec_sk = RistrettoSecretKey.random(r)
+    rec_pk = RistrettoPublicKey.from_secret_key(rec_sk, r)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=r)
+    assert values[:2] == [-5, 5]
+    assert values[2:] == [0] * 7
+    assert len(accounts) == 9 and diff == 7 and sc == 1 and rc == 1
+    assert len(anon_scalars) == 7
+
+
+def test_full_transaction_roundtrip():
+    """End-to-end QuisQuis transaction (12-step flow, transaction.rs:487-749)."""
+    r = rng(b"fulltx")
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    acc, _ = Account.generate_account(pk, r)
+    acc = Account.update_account(acc, 10, r.random_scalar(), r.random_scalar())
+    rec_sk = RistrettoSecretKey.random(r)
+    rec_pk = RistrettoPublicKey.from_secret_key(rec_sk, r)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=r)
+
+    tx, range_proofs, in_proof, in_stmt, out_proof, out_stmt = \
+        create_transaction(
+            values, accounts, sender_updated_balance=[10 - 5],
+            sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=r)
+    assert len(tx.output_account_vector) == 9
+    assert len(range_proofs) >= 1
+    # conservation: sum of epsilon d-commitments is identity
+    total = ex.IDENTITY
+    for e in tx.account_epsilon_vector:
+        total = ex.pt_add(total, e.comm.d_point)
+    assert ex.ristretto_encode(total) == b"\x00" * 32
+    # the sender can still decrypt their updated delta balance
+    tx.account_updated_delta_vector[0].verify_account(sk, 5)
+
+
+def test_transaction_insufficient_balance_detected():
+    """An out-of-range sender balance (negative remaining) must fail."""
+    r = rng(b"badtx")
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    acc, _ = Account.generate_account(pk, r)
+    acc = Account.update_account(acc, 3, r.random_scalar(), r.random_scalar())
+    rec_pk = RistrettoPublicKey.from_secret_key(RistrettoSecretKey.random(r), r)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=r)
+    # sender claims updated balance 2^64 - 2 (3-5 underflows): range proof fails
+    with pytest.raises((ValueError, AssertionError)):
+        create_transaction(
+            values, accounts, sender_updated_balance=[2**64 - 2],
+            sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=r)
+
+
+def test_address_roundtrip():
+    r = rng(b"addr")
+    pk = RistrettoPublicKey.from_secret_key(RistrettoSecretKey.random(r), r)
+    for net in (Network.Mainnet, Network.Testnet):
+        addr = Address.standard(net, pk)
+        b = addr.as_bytes()
+        assert len(b) == 69
+        assert Address.from_bytes(b) == addr
+        assert Address.from_hex(addr.as_hex()) == addr
+        assert Address.from_base58(addr.as_base58()) == addr
+    caddr = Address.contract(Network.Testnet, pk)
+    assert Address.from_bytes(caddr.as_bytes()).addr_type == AddressType.Contract
+    # checksum tamper
+    bad = bytearray(addr.as_bytes())
+    bad[-1] ^= 1
+    with pytest.raises(ValueError):
+        Address.from_bytes(bytes(bad))
