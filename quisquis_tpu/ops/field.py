@@ -325,8 +325,9 @@ def _scan_carry(x: jnp.ndarray):
         v = limb + carry
         return v >> BITS, jnp.bitwise_and(v, MASK)
 
+    # init carry derived from x so sharding/varying axes match the body output
     carry, digits = jax.lax.scan(
-        body, jnp.zeros(x.shape[:-1], dtype=_i32), jnp.moveaxis(x, -1, 0))
+        body, x[..., 0] * 0, jnp.moveaxis(x, -1, 0))
     return jnp.moveaxis(digits, 0, -1), carry
 
 
@@ -352,7 +353,7 @@ def _canonicalize_raw(x: jnp.ndarray) -> jnp.ndarray:
 
     pb = jnp.broadcast_to(
         p_limbs.reshape((NLIMBS,) + (1,) * (x.ndim - 1)), (NLIMBS,) + x.shape[:-1])
-    borrow, diff = jax.lax.scan(sub_body, jnp.zeros(x.shape[:-1], dtype=_i32),
+    borrow, diff = jax.lax.scan(sub_body, x[..., 0] * 0,
                                 (jnp.moveaxis(x, -1, 0), pb))
     diff = jnp.moveaxis(diff, 0, -1)
     return jnp.where((borrow == 0)[..., None], diff, x)

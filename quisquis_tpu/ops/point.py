@@ -50,6 +50,18 @@ def identity(shape=()) -> ExtPoint:
     return ExtPoint(fe.zeros(shape), fe.ones(shape), fe.ones(shape), fe.zeros(shape))
 
 
+def _identity_like(ref: jnp.ndarray) -> ExtPoint:
+    """Identity point whose batch axes derive from `ref` [batch..., k].
+
+    Deriving from an input keeps shard_map varying-axis tracking consistent
+    when the identity seeds a scan/fori_loop carry.
+    """
+    z = ref[..., :1] * 0  # [batch..., 1], inherits sharding/varying axes
+    zeros = jnp.broadcast_to(z, ref.shape[:-1] + (fe.NLIMBS,)) 
+    one = jnp.zeros((fe.NLIMBS,), dtype=jnp.int32).at[0].set(1)
+    return ExtPoint(zeros, zeros + one, zeros + one, zeros)
+
+
 def basepoint(shape=()) -> ExtPoint:
     bx, by, bz, bt = ex.BASEPOINT
     return ExtPoint(fe.const(bx, shape), fe.const(by, shape),
@@ -255,7 +267,7 @@ def base_mul_raw(nibbles: jnp.ndarray) -> ExtPoint:
                          for c in table))
         return add_raw(acc, _lookup_16(row, jnp.take(nibbles, w, axis=-1)))
 
-    return jax.lax.fori_loop(0, NWINDOWS, body, identity(batch))
+    return jax.lax.fori_loop(0, NWINDOWS, body, _identity_like(nibbles))
 
 
 base_mul = jax.jit(base_mul_raw)
@@ -403,8 +415,10 @@ def sum_points_raw(p: ExtPoint, axis: int = 0) -> ExtPoint:
     n = p.x.shape[axis]
     while n > 1:
         if n % 2:
-            pad_shape = p.shape[:axis] + (1,) + p.shape[axis + 1:]
-            p = cat(p, identity(pad_shape))
+            idx = (slice(None),) * axis + (slice(0, 1),)
+            zx = p.x[idx] * 0
+            one = jnp.zeros((fe.NLIMBS,), dtype=jnp.int32).at[0].set(1)
+            p = cat(p, ExtPoint(zx, zx + one, zx + one, zx))
             n += 1
         half = n // 2
         p = add_raw(take(p, slice(0, half)), take(p, slice(half, n)))
