@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: Ristretto scalar-mul throughput per chip.
 
-Runs the batched variable-base scalar-mul kernel (the hot op behind every
-commitment/account/verifier path) on the default device (real TPU under the
-driver), and prints ONE JSON line:
+Measures the batched variable-base scalar-mul kernel (the hot op behind
+every commitment/account/verifier path) on the default device (real TPU
+under the driver) and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Timing is latency-compensated: the driver's TPU is reached through a
+tunnel with ~60ms round-trip, so throughput is computed from the slope
+between two batch sizes (fixed costs cancel), taking the best of several
+repetitions per point.
 
 The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
 measured against the driver-authored target of 1e6 scalar-muls/s/chip.
@@ -18,6 +23,16 @@ import time
 import numpy as np
 
 
+def _measure(f, args, sync, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -25,32 +40,29 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from quisquis_tpu.ops import point as pt
 
-    dev = jax.devices()[0]
-    batch = int(os.environ.get("QQ_BENCH_BATCH", "8192"))
+    b_small = int(os.environ.get("QQ_BENCH_BATCH_SMALL", "4096"))
+    b_large = int(os.environ.get("QQ_BENCH_BATCH_LARGE", "16384"))
+    reps = int(os.environ.get("QQ_BENCH_REPS", "5"))
 
     rng = np.random.default_rng(42)
-    # random scalars as nibble digits; random-ish points = multiples of B
-    nibbles = jnp.asarray(rng.integers(0, 16, size=(batch, 64), dtype=np.int32))
-    base = pt.basepoint((batch,))
-    # give every lane a distinct point: P_i = (i+1)*B via one warm scalar_mul
-    seed_sc = jnp.asarray(rng.integers(0, 16, size=(batch, 64), dtype=np.int32))
-    points = pt.scalar_mul(seed_sc, base)
-    jax.block_until_ready(points)
-
     f = jax.jit(pt.scalar_mul_raw)
-    out = f(nibbles, points)  # compile
-    jax.block_until_ready(out)
 
-    iters = int(os.environ.get("QQ_BENCH_ITERS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(nibbles, points)
-        # force full materialization each iteration: the experimental TPU
-        # platform's block_until_ready can return before execution completes
+    def sync(out):
         np.asarray(out.x[0, 0])
-    t1 = time.perf_counter()
 
-    per_sec = batch * iters / (t1 - t0)
+    times = {}
+    for batch in (b_small, b_large):
+        seed = jnp.asarray(rng.integers(0, 16, (batch, 64), dtype=np.int32))
+        points = jax.jit(pt.base_mul_raw)(seed)
+        jax.block_until_ready(points)
+        nibbles = jnp.asarray(rng.integers(0, 16, (batch, 64), dtype=np.int32))
+        out = f(nibbles, points)  # compile
+        sync(out)
+        times[batch] = _measure(f, (nibbles, points), sync, reps)
+
+    # slope between the two batch sizes cancels fixed dispatch latency
+    per_elem = (times[b_large] - times[b_small]) / (b_large - b_small)
+    per_sec = 1.0 / per_elem if per_elem > 0 else 0.0
     target = 1_000_000.0
     print(json.dumps({
         "metric": "ristretto_scalar_muls_per_sec_per_chip",

@@ -265,17 +265,48 @@ def _mul_raw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 mul = jax.jit(_mul_raw)
 
 
-@jax.jit
-def square(a: jnp.ndarray) -> jnp.ndarray:
-    return _mul_raw(a, a)
+def _square_raw(a: jnp.ndarray) -> jnp.ndarray:
+    """Squaring via the symmetric convolution: ~45% fewer multiplies.
+
+    col_k = sum_{i<j, i+j=k} (2*a_i)*a_j + [k even] a_{k/2}^2.
+    """
+    batch = a.shape[:-1]
+    w = 2 * NLIMBS - 1
+    pad_cfg = [(0, 0)] * len(batch)
+    a2 = a * 2
+    cols = jnp.zeros(batch + (w,), dtype=_i32)
+    for i in range(NLIMBS):
+        # self square at column 2i, cross terms at i+j for j > i
+        self_term = a[..., i:i + 1] * a[..., i:i + 1]
+        cols = cols + jnp.pad(self_term, pad_cfg + [(2 * i, w - 1 - 2 * i)])
+        if i + 1 < NLIMBS:
+            cross = a[..., i:i + 1] * a2[..., i + 1:]
+            ncross = NLIMBS - 1 - i
+            cols = cols + jnp.pad(cross, pad_cfg + [(2 * i + 1,
+                                                     w - 2 * i - 1 - ncross)])
+    col_bounds = []
+    for k in range(w):
+        b = 0
+        for i in range(max(0, k - NLIMBS + 1), min(k, NLIMBS - 1) + 1):
+            j = k - i
+            if i < j:
+                b += 2 * CONTRACT[i] * CONTRACT[j]
+            elif i == j:
+                b += CONTRACT[i] * CONTRACT[i]
+        col_bounds.append(b)
+    assert max(col_bounds) <= INT32_MAX
+    return _reduce_bounded(cols, col_bounds)
+
+
+square = jax.jit(_square_raw)
 
 
 def _pow2k_raw(a: jnp.ndarray, k: int) -> jnp.ndarray:
     def body(_, x):
-        return _mul_raw(x, x)
+        return _square_raw(x)
     if k <= 4:
         for _ in range(k):
-            a = _mul_raw(a, a)
+            a = _square_raw(a)
         return a
     return jax.lax.fori_loop(0, k, body, a)
 
@@ -283,11 +314,11 @@ def _pow2k_raw(a: jnp.ndarray, k: int) -> jnp.ndarray:
 def _pow_25_chain(z: jnp.ndarray):
     """Shared ladder: returns (z^(2^250-1), z^11)."""
     m, p2k = _mul_raw, _pow2k_raw
-    t0 = m(z, z)                        # 2
+    t0 = _square_raw(z)                 # 2
     t1 = p2k(t0, 2)                     # 8
     t2 = m(z, t1)                       # 9
     t3 = m(t0, t2)                      # 11
-    t4 = m(t3, t3)                      # 22
+    t4 = _square_raw(t3)                # 22
     t5 = m(t2, t4)                      # 31 = 2^5-1
     t6 = m(p2k(t5, 5), t5)              # 2^10-1
     t7 = m(p2k(t6, 10), t6)             # 2^20-1
@@ -435,11 +466,11 @@ SQRT_M1_LIMBS = from_int(ex.SQRT_M1)
 def _sqrt_ratio_raw(u: jnp.ndarray, v: jnp.ndarray):
     sqrt_m1 = jnp.asarray(SQRT_M1_LIMBS)
     m = _mul_raw
-    v2 = m(v, v)
+    v2 = _square_raw(v)
     v3 = m(v2, v)
-    v7 = m(m(v3, v3), v)
+    v7 = m(_square_raw(v3), v)
     r = m(m(u, v3), _pow_p58_raw(m(u, v7)))
-    check = m(v, m(r, r))
+    check = m(v, _square_raw(r))
     bias = jnp.asarray(BIAS)
     neg_u = _reduce_bounded(bias - u, [int(x) for x in BIAS])
     correct_sign = eq(check, u)

@@ -98,7 +98,7 @@ def to_exact_batch(p: ExtPoint):
 # group law (raw, composable under jit)
 # ---------------------------------------------------------------------------
 
-def add_raw(p: ExtPoint, q: ExtPoint) -> ExtPoint:
+def add_raw(p: ExtPoint, q: ExtPoint, need_t: bool = True) -> ExtPoint:
     m, a, s = fe._mul_raw, fe._add_raw, fe._sub_raw
     d2 = jnp.asarray(D2_LIMBS)
     A = m(s(p.y, p.x), s(q.y, q.x))
@@ -109,20 +109,22 @@ def add_raw(p: ExtPoint, q: ExtPoint) -> ExtPoint:
     F = s(Dv, C)
     G = a(Dv, C)
     H = a(B, A)
-    return ExtPoint(m(E, F), m(G, H), m(F, G), m(E, H))
+    t = m(E, H) if need_t else p.t
+    return ExtPoint(m(E, F), m(G, H), m(F, G), t)
 
 
-def double_raw(p: ExtPoint) -> ExtPoint:
+def double_raw(p: ExtPoint, need_t: bool = True) -> ExtPoint:
     m, a, s = fe._mul_raw, fe._add_raw, fe._sub_raw
-    A = m(p.x, p.x)
-    B = m(p.y, p.y)
-    C = fe._mul_small_raw(m(p.z, p.z), 2)
+    sq = fe._square_raw
+    A = sq(p.x)
+    B = sq(p.y)
+    C = fe._mul_small_raw(sq(p.z), 2)
     H = a(A, B)
-    xy = a(p.x, p.y)
-    E = s(H, m(xy, xy))
+    E = s(H, sq(a(p.x, p.y)))
     G = s(A, B)
     F = a(C, G)
-    return ExtPoint(m(E, F), m(G, H), m(F, G), m(E, H))
+    t = m(E, H) if need_t else p.t  # T only needed when an addition follows
+    return ExtPoint(m(E, F), m(G, H), m(F, G), t)
 
 
 def neg_raw(p: ExtPoint) -> ExtPoint:
@@ -219,8 +221,10 @@ def scalar_mul_raw(nibbles: jnp.ndarray, p: ExtPoint) -> ExtPoint:
 
     def body(i, acc):
         w = NWINDOWS - 1 - i
-        for _ in range(WINDOW_BITS):
-            acc = double_raw(acc)
+        for k in range(WINDOW_BITS):
+            # T is only consumed by the trailing addition: elide it in the
+            # first WINDOW_BITS-1 doublings (saves one field mul each)
+            acc = double_raw(acc, need_t=(k == WINDOW_BITS - 1))
         digit = jnp.take(nibbles, w, axis=-1)
         return add_raw(acc, _lookup_16(table, digit))
 
