@@ -18,7 +18,13 @@ import os
 import struct
 
 from ..ops import exact as ex
-from ..ops.strobe import Strobe128
+from ..ops.strobe import Strobe128 as _PyStrobe128
+
+try:  # native C++ STROBE fast path (build with `make -C native`)
+    from ..utils import native as _native
+    Strobe128 = _native.NativeStrobe128 if _native.available() else _PyStrobe128
+except Exception:  # pragma: no cover
+    Strobe128 = _PyStrobe128
 
 MERLIN_PROTOCOL_LABEL = b"Merlin v1.0"
 

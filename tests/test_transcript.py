@@ -86,3 +86,24 @@ def test_get_challenge_scalar():
     t2 = Transcript(b"test protocol")
     t2.append_scalar_var(b"x", 42)
     assert t2.get_challenge(b"c") == c
+
+
+def test_native_strobe_matches_python():
+    """C++ STROBE (native/qq_native.cpp) must be bit-identical to Python."""
+    from quisquis_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    from quisquis_tpu.ops.strobe import Strobe128 as Py
+
+    a, b = Py(b"equivalence"), native.NativeStrobe128(b"equivalence")
+    for i in range(10):
+        data = bytes([i]) * (i * 37 + 1)
+        a.meta_ad(b"label", False)
+        b.meta_ad(b"label", False)
+        a.ad(data, False)
+        b.ad(data, False)
+        if i % 3 == 0:
+            a.key(data[:32].ljust(32, b"\0"), False)
+            b.key(data[:32].ljust(32, b"\0"), False)
+        assert a.prf(48, False) == b.prf(48, False)
