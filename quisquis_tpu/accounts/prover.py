@@ -243,6 +243,14 @@ class Prover:
         zr = [(rd - r * x) % L for rd, r in zip(r_dash, epsilon_rscalars)]
         return epsilon_accounts, epsilon_rscalars, SigmaProof.dleq(zv, zsk, zr, x)
 
+    @staticmethod
+    def verify_non_negative_prover(bl, rscalar, rp_prover) -> None:
+        """R1CS range gadget per receiver (prover.rs:514-534)."""
+        for b, r in zip(bl, rscalar):
+            if b < 0:
+                raise ValueError("Receiver balance is negative")
+            rp_prover.range_proof_prover(b, r)
+
     def verify_non_negative_sender_receiver_prover(
         self, bl: Sequence[int], rscalar: Sequence[int],
     ) -> list:

@@ -133,6 +133,26 @@ class Verifier:
             raise ValueError("DLOG Proof Verify: Failed")
 
     @staticmethod
+    def verify_non_negative_verifier(epsilon_accounts, rp_verifier) -> None:
+        """R1CS range verification over epsilon d-commitments
+        (verifier.rs:484-492)."""
+        for acc in epsilon_accounts:
+            rp_verifier.range_proof_verifier(acc.comm.d)
+
+    @staticmethod
+    def verify_account_verifier(
+        updated_delta_account_sender, account_epsilon_sender, base_pk,
+        zv, zsk, zr, x, rp_verifier, verifier,
+    ) -> None:
+        """R1CS variant (verifier.rs:305-380): the sigma check plus queuing
+        each sender epsilon d-commitment into the shared range verifier."""
+        Verifier.verify_account_verifier_bulletproof(
+            updated_delta_account_sender, account_epsilon_sender, base_pk,
+            zv, zsk, zr, x, verifier)
+        for acc in account_epsilon_sender:
+            rp_verifier.range_proof_verifier(acc.comm.d)
+
+    @staticmethod
     def verify_account_verifier_bulletproof(
         updated_delta_account_sender: Sequence[Account],
         account_epsilon_sender: Sequence[Account],

@@ -104,6 +104,114 @@ def generate_value_and_account_vector(
             senders_count, receivers_count)
 
 
+def create_transaction_r1cs(
+    value_vector: Sequence[int],
+    account_vector: Sequence[Account],
+    sender_updated_balance: Sequence[int],
+    sender_sk: Sequence[RistrettoSecretKey],
+    anonymity_comm_scalar: Sequence[int],
+    anonymity_account_diff: int,
+    receiver_updated_balance: Sequence[int],
+    senders_count: int,
+    receivers_count: int,
+    rng: Optional[SeededRng] = None,
+) -> Tuple[Transaction, "object", ShuffleProof, ShuffleStatement,
+           ShuffleProof, ShuffleStatement]:
+    """The R1CS transaction path (`create_transaction`, transaction.rs:184-475):
+    identical flow, but non-negativity is proven with the shared R1CS
+    range-gadget constraint system instead of plain bulletproofs, and the
+    output shuffle runs on a fresh transcript (transaction.rs:426-428).
+
+    The reference's sender-account R1CS call sites are commented out /
+    bitrotted (transaction.rs:349-357,387-397); here the repaired flow uses
+    the sigma account proof plus R1CS range gadgets for sender balances.
+    """
+    from ..accounts.rangeproof import RangeProofProver, RangeProofVerifier
+    if rng is None:
+        rng = SeededRng()
+    n = len(account_vector)
+    assert math.isqrt(n) ** 2 == n
+    value_vector_scalar = [v % L for v in value_vector]
+    base_pk = RistrettoPublicKey.generate_base_pk()
+
+    input_shuffle = Shuffle.input_shuffle(list(account_vector), rng=rng)
+    updated_accounts = input_shuffle.get_outputs_vector()
+    tp = Transcript(b"QuisQuisProof")
+    qq_prover = Prover(b"QuisQuis", tp, rng=rng)
+    in_proof, in_stmt = ShuffleProof.create_shuffle_proof(
+        qq_prover, input_shuffle, rng=rng)
+    tv = Transcript(b"QuisQuisProof")
+    qq_verifier = Verifier(b"QuisQuis", tv)
+    in_proof.verify(qq_verifier, in_stmt, input_shuffle.get_inputs_vector(),
+                    updated_accounts)
+
+    delta_accounts, epsilon_accounts, delta_rscalar = \
+        Account.create_delta_and_epsilon_accounts(
+            updated_accounts, value_vector_scalar, base_pk, rng)
+    zv, zr1, zr2, x = Prover.verify_delta_compact_prover(
+        delta_accounts, epsilon_accounts, delta_rscalar, value_vector_scalar,
+        qq_prover).get_dleq()
+    Verifier.verify_delta_identity_check(epsilon_accounts)
+    Verifier.verify_delta_compact_verifier(
+        delta_accounts, epsilon_accounts, zv, zr1, zr2, x, qq_verifier)
+
+    updated_delta_accounts = Account.update_delta_accounts(
+        updated_accounts, delta_accounts)
+    anonymity_index = n - anonymity_account_diff
+    z_vec, x_dlog = Prover.verify_update_account_prover(
+        updated_accounts[anonymity_index:], updated_delta_accounts[anonymity_index:],
+        delta_rscalar[anonymity_index:], qq_prover).get_dlog()
+    Verifier.verify_update_account_verifier(
+        updated_accounts[anonymity_index:], updated_delta_accounts[anonymity_index:],
+        z_vec, x_dlog, qq_verifier)
+
+    z_zero, x_zero = Prover.zero_balance_account_vector_prover(
+        list(account_vector[anonymity_index:]), list(anonymity_comm_scalar),
+        qq_prover).get_dlog()
+    Verifier.zero_balance_account_vector_verifier(
+        list(account_vector[anonymity_index:]), z_zero, x_zero, qq_verifier)
+
+    # sender account sigma proof + shared R1CS range constraint system
+    senders = updated_delta_accounts[:senders_count]
+    eps_sender, eps_rscalars, sigma = Prover.verify_account_prover(
+        senders, list(sender_updated_balance), list(sender_sk), qq_prover,
+        base_pk)
+    zv_a, zsk_a, zr_a, x_a = sigma.get_dleq()
+
+    rp_prover = RangeProofProver(Transcript(b"Rangeproof.r1cs"), rng=rng)
+    for bl, rs in zip(sender_updated_balance, eps_rscalars):
+        rp_prover.range_proof_prover(bl, rs)
+    receiver_bl = value_vector[senders_count:senders_count + receivers_count]
+    rec_rscalars = delta_rscalar[senders_count:senders_count + receivers_count]
+    Prover.verify_non_negative_prover(receiver_bl, rec_rscalars, rp_prover)
+    range_proof = rp_prover.build_proof()
+
+    rp_verifier = RangeProofVerifier(Transcript(b"Rangeproof.r1cs"))
+    Verifier.verify_account_verifier(
+        senders, eps_sender, base_pk, zv_a, zsk_a, zr_a, x_a, rp_verifier,
+        qq_verifier)
+    receiver_eps = epsilon_accounts[senders_count:senders_count + receivers_count]
+    Verifier.verify_non_negative_verifier(receiver_eps, rp_verifier)
+    rp_verifier.verify_proof(range_proof)
+
+    # output shuffle on a fresh transcript (transaction.rs:426-428)
+    output_shuffle = Shuffle.output_shuffle(updated_delta_accounts, rng=rng)
+    tp2 = Transcript(b"OutputShuffleProof")
+    osp = Prover(b"Shuffle", tp2, rng=rng)
+    out_proof, out_stmt = ShuffleProof.create_shuffle_proof(
+        osp, output_shuffle, rng=rng)
+    tv2 = Transcript(b"OutputShuffleProof")
+    osv = Verifier(b"Shuffle", tv2)
+    out_proof.verify(osv, out_stmt, output_shuffle.get_inputs_vector(),
+                     output_shuffle.get_outputs_vector())
+
+    tx = Transaction(
+        input_shuffle.get_inputs_vector(), updated_accounts, delta_accounts,
+        epsilon_accounts, updated_delta_accounts,
+        output_shuffle.get_outputs_vector())
+    return tx, range_proof, in_proof, in_stmt, out_proof, out_stmt
+
+
 def create_transaction(
     value_vector: Sequence[int],
     account_vector: Sequence[Account],

@@ -109,3 +109,25 @@ def test_address_roundtrip():
     bad[-1] ^= 1
     with pytest.raises(ValueError):
         Address.from_bytes(bytes(bad))
+
+
+def test_full_transaction_r1cs_roundtrip():
+    """R1CS transaction path (transaction.rs:184-475, repaired)."""
+    from quisquis_tpu.transaction.transaction import create_transaction_r1cs
+    r = rng(b"r1cstx")
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    acc, _ = Account.generate_account(pk, r)
+    acc = Account.update_account(acc, 10, r.random_scalar(), r.random_scalar())
+    rec_pk = RistrettoPublicKey.from_secret_key(RistrettoSecretKey.random(r), r)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=r)
+    tx, range_proof, in_p, in_s, out_p, out_s = create_transaction_r1cs(
+        values, accounts, sender_updated_balance=[5], sender_sk=[sk],
+        anonymity_comm_scalar=anon_scalars, anonymity_account_diff=diff,
+        receiver_updated_balance=[5], senders_count=sc, receivers_count=rc,
+        rng=r)
+    assert len(tx.output_account_vector) == 9
+    assert range_proof.serialized_size() > 0
