@@ -19,7 +19,6 @@ from dataclasses import dataclass
 from typing import Optional
 
 from ..ops import exact as ex
-from ..accounts.transcript import SeededRng
 
 
 @dataclass(frozen=True)
@@ -131,7 +130,7 @@ class RistrettoPublicKey:
             raise ValueError("Invalid Account::Keypair Verification Failed")
 
     def sign_msg(self, msg: bytes, sk: RistrettoSecretKey, label: bytes,
-                 rng: Optional[SeededRng] = None):
+                 rng=None):
         from .schnorr import Signature, VerificationKey
         vk = VerificationKey(self.gr, self.grsk)
         return Signature.sign_message(label, msg, vk, sk.scalar, rng=rng)
