@@ -45,7 +45,13 @@ def main() -> None:
     reps = int(os.environ.get("QQ_BENCH_REPS", "5"))
 
     rng = np.random.default_rng(42)
-    f = jax.jit(pt.scalar_mul_raw)
+    if os.environ.get("QQ_BENCH_IMPL", "pallas") == "pallas":
+        from quisquis_tpu.ops.pallas_point import scalar_mul_pallas
+
+        def f(nib, p):
+            return scalar_mul_pallas(nib, p, tile=256)
+    else:
+        f = jax.jit(pt.scalar_mul_raw)
 
     def sync(out):
         np.asarray(out.x[0, 0])

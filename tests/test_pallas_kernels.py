@@ -1,0 +1,21 @@
+"""Pallas mega-kernel bit-exactness (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quisquis_tpu.ops import exact as ex
+from quisquis_tpu.ops import point as pt
+from quisquis_tpu.ops.pallas_point import scalar_mul_pallas
+
+
+def test_pallas_scalar_mul_matches_exact():
+    B = 8
+    scalars = [0, 1, 7, ex.L - 1, 2**200 + 12345, 3, 2**64, 55555]
+    base_s = [11, 22, 33, 44, 55, 66, 77, 88]
+    host_pts = [ex.pt_base_mul(s) for s in base_s]
+    points = pt.from_exact_batch(host_pts)
+    nib = jnp.asarray(pt.scalars_to_nibbles(scalars))
+    out = scalar_mul_pallas(nib, points, tile=B, interpret=True)
+    got = pt.compress_to_bytes(out)
+    for i, s in enumerate(scalars):
+        assert bytes(got[i]) == ex.ristretto_encode(ex.pt_mul(s, host_pts[i]))
