@@ -16,6 +16,7 @@ a device mesh (see quisquis_tpu.parallel).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Sequence
 
 import numpy as np
@@ -138,3 +139,29 @@ def verify_keypairs_raw(pk: BatchPk, sk_nibbles: jnp.ndarray) -> jnp.ndarray:
 
 
 verify_keypairs = jax.jit(verify_keypairs_raw)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast paths (TPU): same semantics, mega-kernel scalar-muls
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tile",))
+def generate_commitments_pallas(pk: BatchPk, r_nibbles: jnp.ndarray,
+                                v_nibbles: jnp.ndarray,
+                                tile: int = 256) -> BatchCommitment:
+    """(c, d) = (r*gr, v*G + r*grsk) using the Pallas ladder kernels."""
+    from . import pallas_point as pp
+    c = pp.scalar_mul_pallas(r_nibbles, pk.gr, tile=tile)
+    gv = pp.base_mul_pallas(v_nibbles, tile=tile)
+    kh = pp.scalar_mul_pallas(r_nibbles, pk.grsk, tile=tile)
+    return BatchCommitment(c, pt.add_raw(gv, kh))
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def verify_commitments_pallas(comm: BatchCommitment, sk_nibbles: jnp.ndarray,
+                              v_nibbles: jnp.ndarray,
+                              tile: int = 256) -> jnp.ndarray:
+    from . import pallas_point as pp
+    rhs = pt.add_raw(pp.base_mul_pallas(v_nibbles, tile=tile),
+                     pp.scalar_mul_pallas(sk_nibbles, comm.c, tile=tile))
+    return pt.eq_raw(comm.d, rhs)

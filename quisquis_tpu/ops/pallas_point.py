@@ -144,3 +144,113 @@ def scalar_mul_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
     ox, oy, oz, ot = scalar_mul_lm(nib_lm, p.x.T, p.y.T, p.z.T, p.t.T,
                                    tile=tile, interpret=interpret)
     return pt.ExtPoint(ox.T, oy.T, oz.T, ot.T)
+
+
+# ---------------------------------------------------------------------------
+# fixed-base (basepoint) mega-kernel
+# ---------------------------------------------------------------------------
+#
+# Global table: 64 windows x 16 entries of (16^w * k) * B precomputed on the
+# host in affine *niels* form (y+x, y-x, 2d*t) with z=1, so each window is a
+# 7-multiply mixed addition. The whole table is ~1.1 MB and lives in VMEM.
+# Entry 0 (identity) has (1, 1, 0): the complete formulas handle it.
+
+_NIELS_TABLE_NP = None
+
+
+def _niels_base_table() -> np.ndarray:
+    """[3*16*24, 64]: rows = (coord, entry, limb), cols = window."""
+    global _NIELS_TABLE_NP
+    if _NIELS_TABLE_NP is None:
+        d2 = ex.D2
+        out = np.zeros((3 * 16 * NL, 64), dtype=np.int32)
+        for w in range(64):
+            base = ex.pt_mul(pow(16, w, ex.L), ex.BASEPOINT)
+            entry = ex.IDENTITY
+            for k in range(16):
+                X, Y, Z, T = entry
+                zi = ex.fe_invert(Z)
+                x, y = X * zi % ex.P, Y * zi % ex.P
+                t = x * y % ex.P
+                yx = (y + x) % ex.P
+                ymx = (y - x) % ex.P
+                td2 = t * d2 % ex.P
+                for ci, v in enumerate((yx, ymx, td2)):
+                    limbs = fe.from_int(v)
+                    out[ci * 16 * NL + k * NL:(ci * 16 * NL + (k + 1) * NL), w] = limbs
+                entry = ex.pt_add(entry, base)
+        _NIELS_TABLE_NP = out
+    return _NIELS_TABLE_NP
+
+
+def _k_add_niels(p, yx2, ymx2, td2_2, bias, need_t: bool):
+    """Mixed addition with an affine niels point (z2=1): 7 muls."""
+    x1, y1, z1, t1 = p
+    m = kf.k_mul
+    A = m(kf.k_sub(y1, x1, bias), ymx2)
+    B = m(kf.k_add(y1, x1), yx2)
+    C = m(t1, td2_2)
+    Dv = kf.k_mul_small(z1, 2)
+    E = kf.k_sub(B, A, bias)
+    F = kf.k_sub(Dv, C, bias)
+    G = kf.k_add(Dv, C)
+    H = kf.k_add(B, A)
+    nt = m(E, H) if need_t else t1
+    return m(E, F), m(G, H), m(F, G), nt
+
+
+def _base_mul_kernel(consts_ref, table_ref, nib_ref,
+                     ox_ref, oy_ref, oz_ref, ot_ref):
+    tile = ox_ref.shape[1]
+    bias = consts_ref[0:NL]
+
+    zeros = jnp.zeros((NL, tile), jnp.int32)
+    one = (jax.lax.broadcasted_iota(jnp.int32, (NL, tile), 0) == 0).astype(jnp.int32)
+    acc = (zeros, one, one, zeros)
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (16 * NL, tile), 0) // NL
+    wids = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+    table = table_ref[:]  # [3*16*24, 64]
+
+    def body(w, acc):
+        digit = nib_ref[pl.ds(w, 1), :]          # [1, tile]
+        # select window column w without dynamic lane slicing (needs 128
+        # alignment): one-hot over the 64 window columns + lane reduction
+        wsel = (wids == w).astype(jnp.int32)     # [1, 64]
+        col = (table * wsel).sum(axis=1, keepdims=True)  # [3*16*24, 1]
+        oh = (ids == digit).astype(jnp.int32)    # [16*24, tile]
+        yx = (col[0:16 * NL] * oh).reshape(16, NL, tile).sum(axis=0)
+        ymx = (col[16 * NL:2 * 16 * NL] * oh).reshape(16, NL, tile).sum(axis=0)
+        td2 = (col[2 * 16 * NL:] * oh).reshape(16, NL, tile).sum(axis=0)
+        return _k_add_niels(acc, yx, ymx, td2, bias, need_t=True)
+
+    acc = jax.lax.fori_loop(0, 64, body, acc)
+    ox_ref[:], oy_ref[:], oz_ref[:], ot_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def base_mul_lm(nibbles_lm: jnp.ndarray, tile: int = TILE,
+                interpret: bool = False):
+    B = nibbles_lm.shape[1]
+    assert B % tile == 0
+    spec_n = pl.BlockSpec((64, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((NL, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((2 * NL, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_t = pl.BlockSpec((3 * 16 * NL, 64), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _base_mul_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((NL, B), jnp.int32) for _ in range(4)),
+        grid=(B // tile,),
+        in_specs=[spec_k, spec_t, spec_n],
+        out_specs=(spec_c, spec_c, spec_c, spec_c),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), jnp.asarray(_niels_base_table()), nibbles_lm)
+    return out
+
+
+def base_mul_pallas(nibbles: jnp.ndarray, tile: int = TILE,
+                    interpret: bool = False) -> pt.ExtPoint:
+    """Fixed-base scalar-mul: 64 niels mixed additions, zero doublings."""
+    ox, oy, oz, ot = base_mul_lm(nibbles.T, tile=tile, interpret=interpret)
+    return pt.ExtPoint(ox.T, oy.T, oz.T, ot.T)

@@ -19,3 +19,13 @@ def test_pallas_scalar_mul_matches_exact():
     got = pt.compress_to_bytes(out)
     for i, s in enumerate(scalars):
         assert bytes(got[i]) == ex.ristretto_encode(ex.pt_mul(s, host_pts[i]))
+
+
+def test_pallas_base_mul_matches_exact():
+    scalars = [0, 1, 2, ex.L - 1, 2**180 + 7, 16, 255, 12345678]
+    nib = jnp.asarray(pt.scalars_to_nibbles(scalars))
+    from quisquis_tpu.ops.pallas_point import base_mul_pallas
+    out = base_mul_pallas(nib, tile=8, interpret=True)
+    got = pt.compress_to_bytes(out)
+    for i, s in enumerate(scalars):
+        assert bytes(got[i]) == ex.ristretto_encode(ex.pt_base_mul(s))
