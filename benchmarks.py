@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Full benchmark suite over the five BASELINE.json configs.
+
+Writes BENCHMARKS.md and prints one JSON object per config. `bench.py`
+remains the driver's single-line entry point; this is the wider harness.
+
+Configs (BASELINE.md):
+ 1. single ElGamal commitment generate + verify_account
+ 2. batched commitment adds + account updates (batch 1024, device)
+ 3. MSM 2^16 points (device, Pallas ladder + tree reduction)
+ 4. 64-bit bulletproofs range proof: prove + batch verify (batch 16 agg)
+ 5. full QuisQuis shuffle over a 64-account anonymity set (prove + verify)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RESULTS = []
+
+
+def record(name, value, unit, detail=""):
+    row = {"config": name, "value": round(value, 2), "unit": unit,
+           "detail": detail}
+    RESULTS.append(row)
+    print(json.dumps(row))
+
+
+def config1_single_commitment():
+    from quisquis_tpu.primitives.keys import RistrettoSecretKey, RistrettoPublicKey
+    from quisquis_tpu.primitives.elgamal import ElGamalCommitment
+    from quisquis_tpu.accounts.accounts import Account
+    from quisquis_tpu.accounts.transcript import SeededRng
+
+    r = SeededRng(seed=b"bench1")
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        acc, _ = Account.generate_account(pk, r)
+        acc.verify_account(sk, 0)
+    dt = (time.perf_counter() - t0) / n
+    record("1: single commitment generate+verify (host)", dt * 1000, "ms")
+
+
+def config2_batched_updates(batch=1024):
+    import jax
+    import jax.numpy as jnp
+    from quisquis_tpu.ops import point as pt, batch as qb
+
+    rng = np.random.default_rng(2)
+    nib = lambda: jnp.asarray(rng.integers(0, 16, (batch, 64), dtype=np.int32))
+    seed = nib()
+    gr = jax.jit(pt.base_mul_raw)(seed)
+    grsk = jax.jit(pt.base_mul_raw)(nib())
+    pk = qb.BatchPk(gr, grsk)
+    comm = qb.generate_commitments(pk, nib(), nib())
+    jax.block_until_ready(comm)
+    bl, uk, cs = nib(), nib(), nib()
+    out = qb.update_accounts(pk, comm, bl, uk, cs)
+    np.asarray(out[0].gr.x[0, 0])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = qb.update_accounts(pk, comm, bl, uk, cs)
+        np.asarray(out[0].gr.x[0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    record("2: batched account updates (device)", batch / dt, "updates/s",
+           f"batch={batch}")
+    # homomorphic adds
+    added = qb.add_commitments(comm, comm)
+    np.asarray(added.c.x[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        added = qb.add_commitments(comm, comm)
+        np.asarray(added.c.x[0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    record("2b: batched homomorphic adds (device)", batch / dt, "adds/s",
+           f"batch={batch}")
+
+
+def config3_msm(log_n=16):
+    import jax
+    import jax.numpy as jnp
+    from quisquis_tpu.ops import point as pt
+    from quisquis_tpu.ops.pallas_point import scalar_mul_pallas
+
+    n = 1 << log_n
+    rng = np.random.default_rng(3)
+    seed = jnp.asarray(rng.integers(0, 16, (n, 64), dtype=np.int32))
+    points = jax.jit(pt.base_mul_raw)(seed)
+    np.asarray(points.x[0, 0])
+    nib = jnp.asarray(rng.integers(0, 16, (n, 64), dtype=np.int32))
+
+    @jax.jit
+    def msm(nib, px, py, pz, ptt):
+        prods = scalar_mul_pallas(nib, pt.ExtPoint(px, py, pz, ptt), tile=256)
+        return pt.sum_points_raw(prods, 0)
+
+    out = msm(nib, *points)
+    np.asarray(out.x[0])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = msm(nib, *points)
+        np.asarray(out.x[0])
+    dt = (time.perf_counter() - t0) / reps
+    record("3: Pippenger-class MSM 2^16 (device)", n / dt, "points/s",
+           f"total={dt*1000:.0f}ms")
+
+
+def config4_range_proofs(batch=16):
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.bulletproofs.range_proof import RangeProof
+
+    r = SeededRng(seed=b"bench4")
+    values = [int(v) for v in np.random.default_rng(4).integers(0, 2**63, batch)]
+    blindings = [r.random_scalar() for _ in range(batch)]
+    t0 = time.perf_counter()
+    t = Transcript(b"bench")
+    proof, V = RangeProof.prove_multiple(t, values, blindings, 64, rng=r)
+    t_prove = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tv = Transcript(b"bench")
+    proof.verify_multiple(tv, V, 64)
+    t_verify = time.perf_counter() - t0
+    record("4: 64-bit aggregated range proof prove", t_prove * 1000, "ms",
+           f"agg={batch}")
+    record("4b: 64-bit aggregated range proof verify", t_verify * 1000, "ms",
+           f"agg={batch}")
+
+
+def config5_shuffle_64():
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.accounts.verifier import Verifier
+    from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+    from quisquis_tpu.primitives.keys import RistrettoSecretKey, RistrettoPublicKey
+    from quisquis_tpu.accounts.accounts import Account
+
+    r = SeededRng(seed=b"bench5")
+    accounts = []
+    for _ in range(64):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        accounts.append(acc)
+    sh = Shuffle.input_shuffle(accounts, rng=r)
+    t0 = time.perf_counter()
+    tp = Transcript(b"ShuffleProof")
+    prover = Prover(b"Shuffle", tp, rng=r)
+    proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+    t_prove = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tv = Transcript(b"ShuffleProof")
+    proof.verify(Verifier(b"Shuffle", tv), statement,
+                 sh.get_inputs_vector(), sh.get_outputs_vector())
+    t_verify = time.perf_counter() - t0
+    record("5: 64-account shuffle prove", t_prove * 1000, "ms")
+    record("5b: 64-account shuffle verify", t_verify * 1000, "ms")
+
+
+def main():
+    import jax
+    dev = str(jax.devices()[0])
+    print(f"# device: {dev}", file=sys.stderr)
+    config1_single_commitment()
+    config2_batched_updates()
+    config3_msm()
+    config4_range_proofs()
+    config5_shuffle_64()
+    with open("BENCHMARKS.md", "w") as f:
+        f.write(f"# Benchmark results\n\ndevice: `{dev}`\n\n")
+        f.write("| config | value | unit | detail |\n|---|---|---|---|\n")
+        for row in RESULTS:
+            f.write(f"| {row['config']} | {row['value']} | {row['unit']} "
+                    f"| {row['detail']} |\n")
+        f.write("\nSee also `bench.py` (driver headline: scalar-muls/s/chip).\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Byte serialization for proofs and statements.
+
+The reference derives serde/bincode on every proof struct
+(SURVEY §5 persistence row); here each proof family gets an explicit,
+versionless little-endian layout: scalars are 32-byte canonical LE, points
+are 32-byte compressed ristretto, vectors are u32-length-prefixed. Account,
+key, and commitment wire formats (64-byte concatenations) already match the
+reference byte-for-byte (primitives/, accounts/).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List
+
+from ..ops import exact as ex
+from ..accounts.prover import SigmaProof
+from ..shuffle.ddh import DDHProof, DDHStatement
+from ..shuffle.hadamard import HadamardProof, HadamardStatement
+from ..shuffle.singlevalueproduct import SVPProof, SVPStatement
+from ..shuffle.product import (ZeroProof, ZeroStatement, MultiHadamardProof,
+                               MultiHadamardStatement, ProductProof,
+                               ProductStatement)
+from ..shuffle.multiexponential import MultiexpoProof
+from ..shuffle.shuffle import ShuffleProof, ShuffleStatement
+
+
+class Writer:
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def u8(self, v: int):
+        self.parts.append(struct.pack("<B", v))
+
+    def u32(self, v: int):
+        self.parts.append(struct.pack("<I", v))
+
+    def scalar(self, s: int):
+        self.parts.append(ex.sc_to_bytes(s))
+
+    def point(self, p: bytes):
+        assert len(p) == 32
+        self.parts.append(p)
+
+    def scalars(self, xs):
+        self.u32(len(xs))
+        for x in xs:
+            self.scalar(x)
+
+    def points(self, ps):
+        self.u32(len(ps))
+        for p in ps:
+            self.point(p)
+
+    def bytes_(self) -> bytes:
+        return b"".join(self.parts)
+
+
+class Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.off = 0
+
+    def u8(self) -> int:
+        v = self.data[self.off]
+        self.off += 1
+        return v
+
+    def u32(self) -> int:
+        v = struct.unpack_from("<I", self.data, self.off)[0]
+        self.off += 4
+        return v
+
+    def scalar(self) -> int:
+        v = ex.sc_from_bytes_mod_order(self.data[self.off:self.off + 32])
+        self.off += 32
+        return v
+
+    def point(self) -> bytes:
+        v = self.data[self.off:self.off + 32]
+        self.off += 32
+        return v
+
+    def scalars(self) -> List[int]:
+        return [self.scalar() for _ in range(self.u32())]
+
+    def points(self) -> List[bytes]:
+        return [self.point() for _ in range(self.u32())]
+
+    def done(self) -> bool:
+        return self.off == len(self.data)
+
+
+# -- sigma proofs -----------------------------------------------------------
+
+def sigma_to_bytes(p: SigmaProof) -> bytes:
+    w = Writer()
+    if p.kind == "dlog":
+        z, x = p.fields
+        w.u8(0)
+        w.scalars(z)
+        w.scalar(x)
+    else:
+        zv, zr1, zr2, x = p.fields
+        w.u8(1)
+        w.scalars(zv)
+        w.scalars(zr1)
+        w.scalars(zr2)
+        w.scalar(x)
+    return w.bytes_()
+
+
+def sigma_from_bytes(data: bytes) -> SigmaProof:
+    r = Reader(data)
+    kind = r.u8()
+    if kind == 0:
+        return SigmaProof.dlog(r.scalars(), r.scalar())
+    return SigmaProof.dleq(r.scalars(), r.scalars(), r.scalars(), r.scalar())
+
+
+# -- shuffle sub-proofs ------------------------------------------------------
+
+def _w_ddh(w, p: DDHProof, s: DDHStatement):
+    w.scalar(p.challenge)
+    w.scalar(p.z)
+    w.point(s.G_dash)
+    w.point(s.H_dash)
+
+
+def _r_ddh(r):
+    return DDHProof(r.scalar(), r.scalar()), DDHStatement(r.point(), r.point())
+
+
+def _w_hadamard(w, p: HadamardProof, s: HadamardStatement):
+    w.point(p.commitment_a_0)
+    w.point(p.commitment_b_0)
+    w.point(p.commitment_c_0)
+    w.points(p.commitment_delta)
+    w.scalars(p.a_bar)
+    w.scalars(p.b_bar)
+    w.scalars(p.c_bar)
+    for sc in (p.r_bar, p.s_bar, p.t_bar, p.rho_bar):
+        w.scalar(sc)
+    w.scalars(s.omega)
+
+
+def _r_hadamard(r):
+    return (HadamardProof(r.point(), r.point(), r.point(), r.points(),
+                          r.scalars(), r.scalars(), r.scalars(),
+                          r.scalar(), r.scalar(), r.scalar(), r.scalar()),
+            HadamardStatement(r.scalars()))
+
+
+def _w_svp(w, p: SVPProof, s: SVPStatement):
+    w.point(p.commitment_d)
+    w.point(p.commitment_delta_small)
+    w.point(p.commitment_delta_capital)
+    w.scalars(p.a_twildle)
+    w.scalars(p.b_twildle)
+    w.scalar(p.r_twildle)
+    w.scalar(p.s_twildle)
+    w.point(s.commitment_a)
+    w.scalar(s.b)
+
+
+def _r_svp(r):
+    return (SVPProof(r.point(), r.point(), r.point(), r.scalars(),
+                     r.scalars(), r.scalar(), r.scalar()),
+            SVPStatement(r.point(), r.scalar()))
+
+
+def _w_zero(w, p: ZeroProof, s: ZeroStatement):
+    w.point(p.c_A_0)
+    w.point(p.c_B_m)
+    w.points(p.c_D)
+    w.scalars(p.a_vec)
+    w.scalars(p.b_vec)
+    w.scalar(p.r)
+    w.scalar(p.s)
+    w.scalar(p.t)
+    w.points(s.c_A)
+
+
+def _r_zero(r):
+    return (ZeroProof(r.point(), r.point(), r.points(), r.scalars(),
+                      r.scalars(), r.scalar(), r.scalar(), r.scalar()),
+            ZeroStatement(r.points()))
+
+
+def _w_product(w, p: ProductProof, s: ProductStatement):
+    w.points(p.multi_hadamard_proof.c_B)
+    _w_zero(w, p.multi_hadamard_proof.zero_proof, s.multi_hadamard_statement.zero_statement)
+    w.point(s.multi_hadamard_statement.c_b)
+    _w_svp(w, p.svp_proof, s.svp_statement)
+
+
+def _r_product(r):
+    c_B = r.points()
+    zero_p, zero_s = _r_zero(r)
+    c_b = r.point()
+    svp_p, svp_s = _r_svp(r)
+    return (ProductProof(MultiHadamardProof(c_B, zero_p), svp_p),
+            ProductStatement(MultiHadamardStatement(c_b, zero_s), svp_s))
+
+
+def _w_multiexpo(w, p: MultiexpoProof):
+    w.point(p.c_A_0)
+    w.points(p.c_B_k)
+    w.points(p.E_k_0)
+    w.points(p.E_k_1)
+    w.scalars(p.a_vec)
+    w.scalar(p.r)
+    w.scalar(p.b)
+    w.scalar(p.s)
+    w.scalar(p.t)
+
+
+def _r_multiexpo(r):
+    return MultiexpoProof(r.point(), r.points(), r.points(), r.points(),
+                          r.scalars(), r.scalar(), r.scalar(), r.scalar(),
+                          r.scalar())
+
+
+def shuffle_proof_to_bytes(p: ShuffleProof, s: ShuffleStatement) -> bytes:
+    w = Writer()
+    w.points(p.c_A)
+    w.points(p.c_tau)
+    w.points(p.c_B)
+    w.points(p.c_B_dash)
+    _w_hadamard(w, p.hadamard_proof, s.hadamard_statement)
+    _w_product(w, p.product_proof, s.product_statement)
+    _w_multiexpo(w, p.multi_exponen_pk)
+    _w_multiexpo(w, p.multi_exponen_commit)
+    _w_ddh(w, p.ddh_proof, s.ddh_statement)
+    return w.bytes_()
+
+
+def shuffle_proof_from_bytes(data: bytes):
+    r = Reader(data)
+    c_A = r.points()
+    c_tau = r.points()
+    c_B = r.points()
+    c_B_dash = r.points()
+    had_p, had_s = _r_hadamard(r)
+    prod_p, prod_s = _r_product(r)
+    me_pk = _r_multiexpo(r)
+    me_commit = _r_multiexpo(r)
+    ddh_p, ddh_s = _r_ddh(r)
+    assert r.done(), "trailing bytes in shuffle proof"
+    return (ShuffleProof(c_A, c_tau, c_B, c_B_dash, had_p, prod_p, me_pk,
+                         me_commit, ddh_p),
+            ShuffleStatement(had_s, prod_s, ddh_s))

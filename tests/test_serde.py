@@ -1,0 +1,33 @@
+"""Proof serialization roundtrips (serde parity, SURVEY §5 persistence)."""
+
+from quisquis_tpu.ops import exact as ex
+from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+from quisquis_tpu.accounts.prover import Prover, SigmaProof
+from quisquis_tpu.accounts.verifier import Verifier
+from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+from quisquis_tpu.utils import serde
+from tests.test_shuffle import make_accounts
+
+
+def test_sigma_proof_roundtrip():
+    p = SigmaProof.dlog([1, 2, 3], 42)
+    assert serde.sigma_from_bytes(serde.sigma_to_bytes(p)).fields == p.fields
+    q = SigmaProof.dleq([5], [6, 7], [], 9)
+    r = serde.sigma_from_bytes(serde.sigma_to_bytes(q))
+    assert r.kind == "dleq" and r.fields == q.fields
+
+
+def test_shuffle_proof_serde_roundtrip_verifies():
+    r = SeededRng(seed=b"serde")
+    accounts = make_accounts(r)
+    sh = Shuffle.input_shuffle(accounts, rng=r)
+    tp = Transcript(b"ShuffleProof")
+    prover = Prover(b"Shuffle", tp, rng=r)
+    proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+    blob = serde.shuffle_proof_to_bytes(proof, statement)
+    proof2, statement2 = serde.shuffle_proof_from_bytes(blob)
+    tv = Transcript(b"ShuffleProof")
+    proof2.verify(Verifier(b"Shuffle", tv), statement2,
+                  sh.get_inputs_vector(), sh.get_outputs_vector())
+    # stability
+    assert serde.shuffle_proof_to_bytes(proof2, statement2) == blob
