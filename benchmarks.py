@@ -49,40 +49,57 @@ def config1_single_commitment():
     record("1: single commitment generate+verify (host)", dt * 1000, "ms")
 
 
-def config2_batched_updates(batch=1024):
+def config2_batched_updates():
+    """Latency-compensated (slope between two batch sizes): the bench TPU sits
+    behind a ~60ms tunnel, so absolute single-call timings are dominated by
+    dispatch latency."""
     import jax
     import jax.numpy as jnp
     from quisquis_tpu.ops import point as pt, batch as qb
+    from functools import partial
 
     rng = np.random.default_rng(2)
-    nib = lambda: jnp.asarray(rng.integers(0, 16, (batch, 64), dtype=np.int32))
-    seed = nib()
-    gr = jax.jit(pt.base_mul_raw)(seed)
-    grsk = jax.jit(pt.base_mul_raw)(nib())
-    pk = qb.BatchPk(gr, grsk)
-    comm = qb.generate_commitments(pk, nib(), nib())
-    jax.block_until_ready(comm)
-    bl, uk, cs = nib(), nib(), nib()
-    out = qb.update_accounts(pk, comm, bl, uk, cs)
-    np.asarray(out[0].gr.x[0, 0])
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = qb.update_accounts(pk, comm, bl, uk, cs)
-        np.asarray(out[0].gr.x[0, 0])
-    dt = (time.perf_counter() - t0) / reps
-    record("2: batched account updates (device)", batch / dt, "updates/s",
-           f"batch={batch}")
-    # homomorphic adds
-    added = qb.add_commitments(comm, comm)
-    np.asarray(added.c.x[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        added = qb.add_commitments(comm, comm)
-        np.asarray(added.c.x[0, 0])
-    dt = (time.perf_counter() - t0) / reps
-    record("2b: batched homomorphic adds (device)", batch / dt, "adds/s",
-           f"batch={batch}")
+
+    def setup(batch):
+        nib = lambda: jnp.asarray(rng.integers(0, 16, (batch, 64), dtype=np.int32))
+        gr = jax.jit(pt.base_mul_raw)(nib())
+        grsk = jax.jit(pt.base_mul_raw)(nib())
+        pk = qb.BatchPk(gr, grsk)
+        comm = qb.generate_commitments_pallas(pk, nib(), nib())
+        jax.block_until_ready(comm)
+        return pk, comm, nib(), nib(), nib()
+
+    @partial(jax.jit, static_argnames=())
+    def update_pallas(pk, comm, bl, uk, cs):
+        from quisquis_tpu.ops import pallas_point as pp
+        new_pk = qb.BatchPk(pp.scalar_mul_pallas(uk, pk.gr, tile=256),
+                            pp.scalar_mul_pallas(uk, pk.grsk, tile=256))
+        new_comm = qb.generate_commitments_pallas(pk, cs, bl)
+        return new_pk, qb.add_commitments_raw(new_comm, comm)
+
+    def measure(fn, args, reps=4):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])[0, 0]
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])[0, 0]
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    b1, b2 = 4096, 16384
+    a1, a2 = setup(b1), setup(b2)
+    t1 = measure(update_pallas, a1)
+    t2 = measure(update_pallas, a2)
+    rate = (b2 - b1) / (t2 - t1)
+    record("2: batched account updates (device, pallas)", rate, "updates/s",
+           f"slope {b1}->{b2}")
+    t1 = measure(qb.add_commitments, (a1[1], a1[1]))
+    t2 = measure(qb.add_commitments, (a2[1], a2[1]))
+    rate = (b2 - b1) / (t2 - t1)
+    record("2b: batched homomorphic adds (device)", rate, "adds/s",
+           f"slope {b1}->{b2}")
 
 
 def config3_msm(log_n=16):
