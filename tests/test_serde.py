@@ -31,3 +31,25 @@ def test_shuffle_proof_serde_roundtrip_verifies():
                   sh.get_inputs_vector(), sh.get_outputs_vector())
     # stability
     assert serde.shuffle_proof_to_bytes(proof2, statement2) == blob
+
+
+def test_shuffle_proof_deterministic_regression():
+    """Seeded proofs are bit-stable across refactors (regression pin).
+
+    All prover randomness flows through SeededRng + witness-rekeyed
+    transcript RNGs, so the full proof bytes are a deterministic function of
+    the seed. Any change to transcripts, encodings, or proof math shows up
+    here first.
+    """
+    import hashlib
+
+    r = SeededRng(seed=b"regression-pin")
+    accounts = make_accounts(r)
+    sh = Shuffle.input_shuffle(accounts, rng=r)
+    tp = Transcript(b"ShuffleProof")
+    prover = Prover(b"Shuffle", tp, rng=r)
+    proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+    blob = serde.shuffle_proof_to_bytes(proof, statement)
+    assert len(blob) == 4224
+    assert hashlib.sha256(blob).hexdigest() == (
+        "714c71034a6c071311726d1c251be3e65f36a5a9b8fdb65256e216f50d468b1a")
