@@ -29,3 +29,10 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+# enable the native C++ curve backend (if built) now that the package is
+# fully initialized
+from .ops.exact import _try_enable_native as _qq_enable_native  # noqa: E402
+
+_qq_enable_native()
+del _qq_enable_native

@@ -353,3 +353,53 @@ def ed25519_encode(p: Point) -> bytes:
     if x & 1:
         b[31] |= 0x80
     return bytes(b)
+
+
+# ---------------------------------------------------------------------------
+# native dispatch (C++ fe51 backend, ~50-100x for host proof paths)
+# ---------------------------------------------------------------------------
+
+#: pure-Python references kept for cross-checking (tests) and fallback
+pt_add_py = pt_add
+pt_double_py = pt_double
+pt_mul_py = pt_mul
+pt_msm_py = pt_msm
+ristretto_encode_py = ristretto_encode
+ristretto_decode_py = ristretto_decode
+
+NATIVE_CURVE = False
+
+
+def _try_enable_native() -> None:
+    global pt_add, pt_double, pt_mul, pt_msm
+    global ristretto_encode, ristretto_decode, NATIVE_CURVE
+    try:
+        import sys
+        from ..utils import native_curve as nc
+        this = sys.modules[__name__]
+        if not nc.init_constants(this):
+            return
+    except Exception:  # pragma: no cover - native lib not built
+        import os as _os
+        if _os.environ.get("QQ_DEBUG"):
+            import traceback
+            traceback.print_exc()
+        return
+
+    def _pt_mul(s, p):
+        return nc.pt_mul(s, p, L)
+
+    def _pt_msm(scalars, points):
+        return nc.pt_msm(list(scalars), list(points), L)
+
+    pt_add = nc.pt_add
+    pt_double = nc.pt_double
+    pt_mul = _pt_mul
+    pt_msm = _pt_msm
+    ristretto_encode = nc.ristretto_encode
+    ristretto_decode = nc.ristretto_decode
+    NATIVE_CURVE = True
+
+
+# called from quisquis_tpu/__init__ once the package is fully loaded (the
+# utils import chain would otherwise hit a partially-initialized cycle)

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native C++ curve library (native/qq_curve.cpp).
+
+Accelerates the host exact backend (51-bit-limb field, extended points,
+windowed scalar-mul, Pippenger MSM, ristretto encode/decode) by ~50-100x
+over pure Python. The exact backend transparently dispatches here when the
+library is built; the pure-Python implementations remain as fallback and as
+the cross-check oracle (tests compare both paths bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "libqq_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.qq_curve_init.argtypes = [ctypes.c_char_p] * 7
+        lib.qq_pt_add.argtypes = [ctypes.c_char_p] * 3
+        lib.qq_pt_double.argtypes = [ctypes.c_char_p] * 2
+        lib.qq_pt_scalar_mul.argtypes = [ctypes.c_char_p] * 3
+        lib.qq_pt_msm.argtypes = [ctypes.c_uint64] + [ctypes.c_char_p] * 3
+        lib.qq_ristretto_encode.argtypes = [ctypes.c_char_p] * 2
+        lib.qq_ristretto_decode.argtypes = [ctypes.c_char_p] * 2
+        lib.qq_ristretto_decode.restype = ctypes.c_int
+        lib.qq_initialized.restype = ctypes.c_int
+    except (OSError, AttributeError):
+        return None
+    _lib = lib
+    return lib
+
+
+def init_constants(ex) -> bool:
+    """Inject field constants from the exact backend; returns availability."""
+    lib = _load()
+    if lib is None:
+        return False
+    if lib.qq_initialized():
+        return True
+    P = ex.P
+
+    def fb(v):
+        return (v % P).to_bytes(32, "little")
+
+    lib.qq_curve_init(fb(ex.D), fb(ex.D2), fb(ex.SQRT_M1),
+                      fb(ex.INVSQRT_A_MINUS_D), fb(ex.SQRT_AD_MINUS_ONE),
+                      fb(ex.ONE_MINUS_D_SQ), fb(ex.D_MINUS_ONE_SQ))
+    return True
+
+
+# point wire form: 4 x 32B LE (x, y, z, t)
+
+def _pt_to_bytes(p: tuple) -> bytes:
+    x, y, z, t = p
+    return (x.to_bytes(32, "little") + y.to_bytes(32, "little") +
+            z.to_bytes(32, "little") + t.to_bytes(32, "little"))
+
+
+def _pt_from_bytes(b: bytes) -> tuple:
+    return (int.from_bytes(b[0:32], "little"),
+            int.from_bytes(b[32:64], "little"),
+            int.from_bytes(b[64:96], "little"),
+            int.from_bytes(b[96:128], "little"))
+
+
+def pt_add(p: tuple, q: tuple) -> tuple:
+    out = ctypes.create_string_buffer(128)
+    _lib.qq_pt_add(_pt_to_bytes(p), _pt_to_bytes(q), out)
+    return _pt_from_bytes(out.raw)
+
+
+def pt_double(p: tuple) -> tuple:
+    out = ctypes.create_string_buffer(128)
+    _lib.qq_pt_double(_pt_to_bytes(p), out)
+    return _pt_from_bytes(out.raw)
+
+
+def pt_mul(s: int, p: tuple, order: int) -> tuple:
+    out = ctypes.create_string_buffer(128)
+    _lib.qq_pt_scalar_mul((s % order).to_bytes(32, "little"),
+                          _pt_to_bytes(p), out)
+    return _pt_from_bytes(out.raw)
+
+
+def pt_msm(scalars, points, order: int) -> tuple:
+    n = len(scalars)
+    sbuf = b"".join((s % order).to_bytes(32, "little") for s in scalars)
+    pbuf = b"".join(_pt_to_bytes(p) for p in points)
+    out = ctypes.create_string_buffer(128)
+    _lib.qq_pt_msm(n, sbuf, pbuf, out)
+    return _pt_from_bytes(out.raw)
+
+
+def ristretto_encode(p: tuple) -> bytes:
+    out = ctypes.create_string_buffer(32)
+    _lib.qq_ristretto_encode(_pt_to_bytes(p), out)
+    return out.raw[:32]
+
+
+def ristretto_decode(b: bytes) -> Optional[tuple]:
+    if len(b) != 32:
+        return None
+    out = ctypes.create_string_buffer(128)
+    ok = _lib.qq_ristretto_decode(bytes(b), out)
+    return _pt_from_bytes(out.raw) if ok else None
