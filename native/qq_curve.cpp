@@ -458,6 +458,45 @@ int qq_ristretto_decode(const uint8_t *in32, uint8_t *point_out) {
   return 1;
 }
 
+// fixed-base: 64 windows x 16 entries of (16^w * k) * B, built lazily from
+// an injected basepoint
+static Pt g_base_table[64][16];
+static int g_base_ready = 0;
+
+void qq_set_basepoint(const uint8_t *basepoint) {
+  Pt base;
+  pt_load(&base, basepoint);
+  for (int w = 0; w < 64; w++) {
+    pt_identity(&g_base_table[w][0]);
+    g_base_table[w][1] = base;
+    for (int k = 2; k < 16; k++)
+      pt_add(&g_base_table[w][k], &g_base_table[w][k - 1], &base);
+    // base <- 16 * base
+    for (int d = 0; d < 4; d++) pt_double(&base, &base);
+  }
+  g_base_ready = 1;
+}
+
+void qq_pt_base_mul(const uint8_t *scalar, uint8_t *out) {
+  Pt r;
+  pt_identity(&r);
+  int have = 0;
+  for (int i = 0; i < 32; i++) {
+    int lo = scalar[i] & 15, hi = scalar[i] >> 4;
+    if (lo) {
+      if (have) pt_add(&r, &r, &g_base_table[2 * i][lo]);
+      else { r = g_base_table[2 * i][lo]; have = 1; }
+    }
+    if (hi) {
+      if (have) pt_add(&r, &r, &g_base_table[2 * i + 1][hi]);
+      else { r = g_base_table[2 * i + 1][hi]; have = 1; }
+    }
+  }
+  pt_store(out, &r);
+}
+
+int qq_base_ready() { return g_base_ready; }
+
 int qq_initialized() { return g_init; }
 
 }  // extern "C"

@@ -363,6 +363,7 @@ def ed25519_encode(p: Point) -> bytes:
 pt_add_py = pt_add
 pt_double_py = pt_double
 pt_mul_py = pt_mul
+pt_base_mul_py = pt_base_mul
 pt_msm_py = pt_msm
 ristretto_encode_py = ristretto_encode
 ristretto_decode_py = ristretto_decode
@@ -371,7 +372,7 @@ NATIVE_CURVE = False
 
 
 def _try_enable_native() -> None:
-    global pt_add, pt_double, pt_mul, pt_msm
+    global pt_add, pt_double, pt_mul, pt_base_mul, pt_msm
     global ristretto_encode, ristretto_decode, NATIVE_CURVE
     try:
         import sys
@@ -392,9 +393,13 @@ def _try_enable_native() -> None:
     def _pt_msm(scalars, points):
         return nc.pt_msm(list(scalars), list(points), L)
 
+    def _pt_base_mul(s):
+        return nc.pt_base_mul(s, L)
+
     pt_add = nc.pt_add
     pt_double = nc.pt_double
     pt_mul = _pt_mul
+    pt_base_mul = _pt_base_mul
     pt_msm = _pt_msm
     ristretto_encode = nc.ristretto_encode
     ristretto_decode = nc.ristretto_decode

@@ -36,6 +36,9 @@ def _load():
         lib.qq_ristretto_decode.argtypes = [ctypes.c_char_p] * 2
         lib.qq_ristretto_decode.restype = ctypes.c_int
         lib.qq_initialized.restype = ctypes.c_int
+        lib.qq_set_basepoint.argtypes = [ctypes.c_char_p]
+        lib.qq_pt_base_mul.argtypes = [ctypes.c_char_p] * 2
+        lib.qq_base_ready.restype = ctypes.c_int
     except (OSError, AttributeError):
         return None
     _lib = lib
@@ -57,6 +60,7 @@ def init_constants(ex) -> bool:
     lib.qq_curve_init(fb(ex.D), fb(ex.D2), fb(ex.SQRT_M1),
                       fb(ex.INVSQRT_A_MINUS_D), fb(ex.SQRT_AD_MINUS_ONE),
                       fb(ex.ONE_MINUS_D_SQ), fb(ex.D_MINUS_ONE_SQ))
+    lib.qq_set_basepoint(_pt_to_bytes(ex.BASEPOINT))
     return True
 
 
@@ -100,6 +104,12 @@ def pt_msm(scalars, points, order: int) -> tuple:
     pbuf = b"".join(_pt_to_bytes(p) for p in points)
     out = ctypes.create_string_buffer(128)
     _lib.qq_pt_msm(n, sbuf, pbuf, out)
+    return _pt_from_bytes(out.raw)
+
+
+def pt_base_mul(s: int, order: int) -> tuple:
+    out = ctypes.create_string_buffer(128)
+    _lib.qq_pt_base_mul((s % order).to_bytes(32, "little"), out)
     return _pt_from_bytes(out.raw)
 
 
