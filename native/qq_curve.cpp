@@ -11,6 +11,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -334,12 +336,12 @@ void qq_pt_scalar_mul(const uint8_t *scalar, const uint8_t *p, uint8_t *out) {
   pt_store(out, &r);
 }
 
-// Pippenger MSM: scalars[n*32], points[n*128] -> out[128]
-void qq_pt_msm(u64 n, const uint8_t *scalars, const uint8_t *points,
-               uint8_t *out) {
+// Pippenger MSM over one chunk: scalars[n*32], points[n*128] -> *outp
+static void msm_chunk(u64 n, const uint8_t *scalars, const uint8_t *points,
+                      Pt *outp) {
   Pt result;
   pt_identity(&result);
-  if (n == 0) { pt_store(out, &result); return; }
+  if (n == 0) { *outp = result; return; }
   int c = n < 32 ? 4 : (n < 500 ? 6 : 8);
   int nbuckets = 1 << c;
   int windows = (253 + c - 1) / c;
@@ -377,10 +379,45 @@ void qq_pt_msm(u64 n, const uint8_t *scalars, const uint8_t *points,
     }
     if (have_a) pt_add(&result, &result, &acc);
   }
-  pt_store(out, &result);
+  *outp = result;
   delete[] pts;
   delete[] buckets;
   delete[] used;
+}
+
+static unsigned pool_threads(u64 n, u64 min_per_thread) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  u64 want = n / min_per_thread;
+  if (want < 1) want = 1;
+  return (unsigned)(want < hw ? want : hw);
+}
+
+// Pippenger MSM (threaded): scalars[n*32], points[n*128] -> out[128].
+// Chunk results combine by group addition, so the encoded output is
+// independent of the thread split.
+void qq_pt_msm(u64 n, const uint8_t *scalars, const uint8_t *points,
+               uint8_t *out) {
+  unsigned nt = pool_threads(n, 512);
+  if (nt <= 1) {
+    Pt r;
+    msm_chunk(n, scalars, points, &r);
+    pt_store(out, &r);
+    return;
+  }
+  std::vector<Pt> partial(nt);
+  std::vector<std::thread> ths;
+  u64 per = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    u64 lo = per * t, hi = lo + per < n ? lo + per : n;
+    ths.emplace_back([&, lo, hi, t]() {
+      msm_chunk(hi - lo, scalars + 32 * lo, points + 128 * lo, &partial[t]);
+    });
+  }
+  for (auto &th : ths) th.join();
+  Pt r = partial[0];
+  for (unsigned t = 1; t < nt; t++) pt_add(&r, &r, &partial[t]);
+  pt_store(out, &r);
 }
 
 // ---------------------------------------------------------------------------
@@ -498,5 +535,126 @@ void qq_pt_base_mul(const uint8_t *scalar, uint8_t *out) {
 int qq_base_ready() { return g_base_ready; }
 
 int qq_initialized() { return g_init; }
+
+// ---------------------------------------------------------------------------
+// batched host ops (threaded): the Python side pays one ctypes marshal for
+// the whole batch instead of one per element
+// ---------------------------------------------------------------------------
+
+// independent MSMs (e.g. per-row vector-Pedersen commits), threaded across
+// rows: ns[r] = length of row r; scalars/points are the rows concatenated.
+void qq_pt_msm_many(u64 rows, const u64 *ns, const uint8_t *scalars,
+                    const uint8_t *points, uint8_t *out) {
+  std::vector<u64> off(rows + 1, 0);
+  for (u64 r = 0; r < rows; r++) off[r + 1] = off[r] + ns[r];
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  unsigned nt = rows < hw ? (unsigned)rows : hw;
+  if (nt <= 1) {
+    for (u64 r = 0; r < rows; r++) {
+      Pt res;
+      msm_chunk(ns[r], scalars + 32 * off[r], points + 128 * off[r], &res);
+      pt_store(out + 128 * r, &res);
+    }
+    return;
+  }
+  std::vector<std::thread> ths;
+  for (unsigned t = 0; t < nt; t++) {
+    ths.emplace_back([&, t]() {
+      for (u64 r = t; r < rows; r += nt) {
+        Pt res;
+        msm_chunk(ns[r], scalars + 32 * off[r], points + 128 * off[r], &res);
+        pt_store(out + 128 * r, &res);
+      }
+    });
+  }
+  for (auto &th : ths) th.join();
+}
+
+static void mul_batch_range(u64 lo, u64 hi, const uint8_t *scalars,
+                            const uint8_t *points, uint8_t *out) {
+  for (u64 i = lo; i < hi; i++) {
+    Pt p, r;
+    pt_load(&p, points + 128 * i);
+    pt_scalar_mul(&r, scalars + 32 * i, &p);
+    pt_store(out + 128 * i, &r);
+  }
+}
+
+// out[i] = s_i * P_i
+void qq_pt_mul_batch(u64 n, const uint8_t *scalars, const uint8_t *points,
+                     uint8_t *out) {
+  unsigned nt = pool_threads(n, 8);
+  if (nt <= 1) { mul_batch_range(0, n, scalars, points, out); return; }
+  std::vector<std::thread> ths;
+  u64 per = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    u64 lo = per * t, hi = lo + per < n ? lo + per : n;
+    ths.emplace_back(mul_batch_range, lo, hi, scalars, points, out);
+  }
+  for (auto &th : ths) th.join();
+}
+
+// Strauss shared-doubling double-scalar mul: r = a*P + b*Q
+static void pt_double_scalar_mul(Pt *r, const uint8_t *a, const Pt *p,
+                                 const uint8_t *b, const Pt *q) {
+  Pt tp[16], tq[16];
+  pt_identity(&tp[0]);
+  pt_identity(&tq[0]);
+  tp[1] = *p;
+  tq[1] = *q;
+  for (int k = 2; k < 16; k++) {
+    if (k % 2 == 0) {
+      pt_double(&tp[k], &tp[k / 2]);
+      pt_double(&tq[k], &tq[k / 2]);
+    } else {
+      pt_add(&tp[k], &tp[k - 1], p);
+      pt_add(&tq[k], &tq[k - 1], q);
+    }
+  }
+  pt_identity(r);
+  int started = 0;
+  for (int i = 31; i >= 0; i--) {
+    for (int half = 1; half >= 0; half--) {
+      int na = half ? (a[i] >> 4) : (a[i] & 15);
+      int nb = half ? (b[i] >> 4) : (b[i] & 15);
+      if (started) {
+        pt_double(r, r); pt_double(r, r); pt_double(r, r); pt_double(r, r);
+        if (na) pt_add(r, r, &tp[na]);
+        if (nb) pt_add(r, r, &tq[nb]);
+      } else if (na || nb) {
+        if (na) { *r = tp[na]; if (nb) pt_add(r, r, &tq[nb]); }
+        else *r = tq[nb];
+        started = 1;
+      }
+    }
+  }
+}
+
+static void fold_batch_range(u64 lo, u64 hi, const uint8_t *as,
+                             const uint8_t *bs, const uint8_t *ps,
+                             const uint8_t *qs, uint8_t *out) {
+  for (u64 i = lo; i < hi; i++) {
+    Pt p, q, r;
+    pt_load(&p, ps + 128 * i);
+    pt_load(&q, qs + 128 * i);
+    pt_double_scalar_mul(&r, as + 32 * i, &p, bs + 32 * i, &q);
+    pt_store(out + 128 * i, &r);
+  }
+}
+
+// out[i] = a_i*P_i + b_i*Q_i  (the IPP generator-fold shape)
+void qq_fold_batch(u64 n, const uint8_t *as, const uint8_t *bs,
+                   const uint8_t *ps, const uint8_t *qs, uint8_t *out) {
+  unsigned nt = pool_threads(n, 8);
+  if (nt <= 1) { fold_batch_range(0, n, as, bs, ps, qs, out); return; }
+  std::vector<std::thread> ths;
+  u64 per = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    u64 lo = per * t, hi = lo + per < n ? lo + per : n;
+    ths.emplace_back(fold_batch_range, lo, hi, as, bs, ps, qs, out);
+  }
+  for (auto &th : ths) th.join();
+}
 
 }  // extern "C"

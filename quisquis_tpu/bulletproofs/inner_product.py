@@ -82,14 +82,16 @@ class InnerProductProof:
             a = [(al * u + u_inv * ah) % L for al, ah in zip(a_lo, a_hi)]
             b = [(bl * u_inv + u * bh) % L for bl, bh in zip(b_lo, b_hi)]
             if first:
-                G = [ex.pt_msm([u_inv * gf_lo[i] % L, u * gf_hi[i] % L],
-                               [G_lo[i], G_hi[i]]) for i in range(n)]
-                H = [ex.pt_msm([u * hf_lo[i] % L, u_inv * hf_hi[i] % L],
-                               [H_lo[i], H_hi[i]]) for i in range(n)]
+                G = ex.pt_fold_batch([u_inv * gf_lo[i] % L for i in range(n)],
+                                     [u * gf_hi[i] % L for i in range(n)],
+                                     G_lo, G_hi)
+                H = ex.pt_fold_batch([u * hf_lo[i] % L for i in range(n)],
+                                     [u_inv * hf_hi[i] % L for i in range(n)],
+                                     H_lo, H_hi)
                 first = False
             else:
-                G = [ex.pt_msm([u_inv, u], [G_lo[i], G_hi[i]]) for i in range(n)]
-                H = [ex.pt_msm([u, u_inv], [H_lo[i], H_hi[i]]) for i in range(n)]
+                G = ex.pt_fold_batch([u_inv] * n, [u] * n, G_lo, G_hi)
+                H = ex.pt_fold_batch([u] * n, [u_inv] * n, H_lo, H_hi)
         return InnerProductProof(L_vec, R_vec, a[0], b[0])
 
     def verification_scalars(self, n: int, transcript: Transcript

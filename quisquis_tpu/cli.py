@@ -53,5 +53,51 @@ def main() -> None:
           f"{added.decommit_value(sk, max_value=1 << 16) == 42}")
 
 
+def tx_demo() -> None:
+    """Full QuisQuis transaction: shuffle proofs, sigma proofs, range
+    proofs over a 9-account anonymity set (transaction.rs:487-749 flow)."""
+    import time
+    from .transaction.transaction import (Sender, Receiver, create_transaction,
+                                          generate_value_and_account_vector)
+
+    rng = SeededRng(seed=b"cli-tx-demo")
+    print("== quisquis_tpu full-transaction demo ==")
+    sk = RistrettoSecretKey.random(rng)
+    pk = RistrettoPublicKey.from_secret_key(sk, rng)
+    acc, _ = Account.generate_account(pk, rng)
+    acc = Account.update_account(acc, 10, rng.random_scalar(),
+                                 rng.random_scalar())
+    rec_sk = RistrettoSecretKey.random(rng)
+    rec_pk = RistrettoPublicKey.from_secret_key(rec_sk, rng)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=rng)
+    print(f"anonymity set              : {len(accounts)} accounts "
+          f"(sender 1, receiver 1, anonymity {diff})")
+    t0 = time.perf_counter()
+    tx, range_proofs, in_proof, in_stmt, out_proof, out_stmt = \
+        create_transaction(
+            values, accounts, sender_updated_balance=[10 - 5],
+            sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=rng)
+    dt = time.perf_counter() - t0
+    print(f"transaction built+verified : OK ({dt*1e3:.0f} ms; "
+          f"{len(range_proofs)} range proof(s), 2 shuffle proofs)")
+    tx.account_updated_delta_vector[0].verify_account(sk, 5)
+    print("sender delta balance (5)   : OK")
+    total = ex.IDENTITY
+    for e in tx.account_epsilon_vector:
+        total = ex.pt_add(total, e.comm.d_point)
+    assert ex.ristretto_encode(total) == b"\x00" * 32
+    print("epsilon conservation check : OK")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--tx" in _sys.argv:
+        tx_demo()
+    else:
+        main()

@@ -201,6 +201,25 @@ def pt_base_mul(s: int) -> Point:
     return pt_mul(s, BASEPOINT)
 
 
+def pt_mul_batch(scalars, points):
+    """out[i] = s_i * P_i (native backend runs the whole batch in one call)."""
+    return [pt_mul(s, p) for s, p in zip(scalars, points)]
+
+
+def pt_fold_batch(a_scalars, b_scalars, ps, qs):
+    """out[i] = a_i*P_i + b_i*Q_i — the IPP generator-fold / Strauss shape."""
+    return [pt_add(pt_mul(a, p), pt_mul(b, q))
+            for a, p, b, q in zip(a_scalars, ps, b_scalars, qs)]
+
+
+def pt_msm_many(items):
+    """Independent MSMs: items = [(scalars, points), ...] -> [Point, ...].
+
+    The native backend threads across rows (per-row vector-Pedersen
+    commits are the shuffle prover's hot loop)."""
+    return [pt_msm(s, p) for s, p in items]
+
+
 def pt_msm(scalars, points) -> Point:
     """Multi-scalar multiplication (Pippenger bucket method for larger sets)."""
     scalars = [s % L for s in scalars]
@@ -365,6 +384,9 @@ pt_double_py = pt_double
 pt_mul_py = pt_mul
 pt_base_mul_py = pt_base_mul
 pt_msm_py = pt_msm
+pt_msm_many_py = pt_msm_many
+pt_mul_batch_py = pt_mul_batch
+pt_fold_batch_py = pt_fold_batch
 ristretto_encode_py = ristretto_encode
 ristretto_decode_py = ristretto_decode
 
@@ -373,6 +395,7 @@ NATIVE_CURVE = False
 
 def _try_enable_native() -> None:
     global pt_add, pt_double, pt_mul, pt_base_mul, pt_msm
+    global pt_mul_batch, pt_fold_batch, pt_msm_many
     global ristretto_encode, ristretto_decode, NATIVE_CURVE
     try:
         import sys
@@ -396,11 +419,24 @@ def _try_enable_native() -> None:
     def _pt_base_mul(s):
         return nc.pt_base_mul(s, L)
 
+    def _pt_mul_batch(scalars, points):
+        return nc.pt_mul_batch(list(scalars), list(points), L)
+
+    def _pt_fold_batch(a_scalars, b_scalars, ps, qs):
+        return nc.fold_batch(list(a_scalars), list(b_scalars),
+                             list(ps), list(qs), L)
+
+    def _pt_msm_many(items):
+        return nc.pt_msm_many([(list(s), list(p)) for s, p in items], L)
+
     pt_add = nc.pt_add
     pt_double = nc.pt_double
     pt_mul = _pt_mul
     pt_base_mul = _pt_base_mul
     pt_msm = _pt_msm
+    pt_mul_batch = _pt_mul_batch
+    pt_fold_batch = _pt_fold_batch
+    pt_msm_many = _pt_msm_many
     ristretto_encode = nc.ristretto_encode
     ristretto_decode = nc.ristretto_decode
     NATIVE_CURVE = True

@@ -64,6 +64,13 @@ class VectorPedersenGens:
         return ex.pt_msm([blinding] + list(values),
                          [self.H] + self.G_vec[:len(values)])
 
+    def commit_rows(self, rows: Sequence[Sequence[int]],
+                    blindings: Sequence[int]) -> List[ex.Point]:
+        """Independent row commits in one threaded native call."""
+        items = [([b] + list(vals), [self.H] + self.G_vec[:len(vals)])
+                 for vals, b in zip(rows, blindings)]
+        return ex.pt_msm_many(items)
+
 
 _VEC_GENS_CACHE: dict = {}
 

@@ -94,8 +94,7 @@ class HadamardProof:
                       for dr in div_res] for i in range(m + 1)]
 
         rho = [rng.random_scalar() for _ in range(m + 1)]
-        comit_delta = [_enc(xpc_gens.commit(row, rho[i]))
-                       for i, row in enumerate(delta_vec)]
+        comit_delta = [_enc(c) for c in xpc_gens.commit_rows(delta_vec, rho)]
 
         prover.allocate_point(b"c_a_0", c_a_0)
         prover.allocate_point(b"c_b_0", c_b_0)

@@ -201,8 +201,8 @@ class MultiHadamardProof:
         # s_1 = r_1; s_2..s_{m-1} random; s_m = s_3
         s_vec_product = [r[0]] + [rng.random_scalar() for _ in range(m - 2)] + [s_3]
         c_B_initial = ([comit_a[0]] +
-                       [xpc_gens.commit(b_list[i], s_vec_product[i])
-                        for i in range(1, m - 1)] + [cb])
+                       xpc_gens.commit_rows(b_list[1:m - 1],
+                                            s_vec_product[1:m - 1]) + [cb])
         for cr in c_B_initial:
             prover.allocate_point(b"BVectorCommitment", _enc(cr))
         x = prover.get_challenge(b"XChallenge")
@@ -282,8 +282,7 @@ class ProductProof:
         """witness_rows: m x n matrix (column-major semantics per reference)."""
         witness_cols = columns(witness_rows)
         m = len(witness_cols)
-        c_prod_A = [xpc_gens.commit(witness_cols[i], witness_r[i])
-                    for i in range(m)]
+        c_prod_A = xpc_gens.commit_rows(witness_cols[:m], witness_r[:m])
         # bvec = row products
         bvec = [1] * len(witness_rows)
         for i, row in enumerate(witness_rows):

@@ -189,13 +189,13 @@ class ShuffleProof:
 
         witness = shuffle.pi.get_permutation_as_scalar_matrix()  # m x n rows
         r = [rng.random_scalar() for _ in range(m)]
-        commitment_witness = [_enc(xpc_gens.commit(witness[i], r[i]))
-                              for i in range(m)]
+        commitment_witness = [_enc(c) for c in
+                              xpc_gens.commit_rows(witness[:m], r)]
         trng = prover.prove_rekey_witness_transcript_rng(shuffle.shuffled_tau)
         r_dash = [trng.random_scalar() for _ in range(m)]
         tau_rows = _to_rows(shuffle.shuffled_tau, m, n_cols)
-        commitment_tau = [_enc(xpc_gens.commit(tau_rows[i], r_dash[i]))
-                          for i in range(m)]
+        commitment_tau = [_enc(c) for c in
+                          xpc_gens.commit_rows(tau_rows, r_dash)]
         for a, tau_c in zip(commitment_witness, commitment_tau):
             prover.allocate_point(b"ACommitment", a)
             prover.allocate_point(b"tauCommitment", tau_c)
@@ -208,9 +208,9 @@ class ShuffleProof:
         b_dash_rows = _to_rows(b_dash_flat, m, n_cols)
         s = [trng.random_scalar() for _ in range(m)]
         s_dash = [trng.random_scalar() for _ in range(m)]
-        commitment_b = [_enc(xpc_gens.commit(b_rows[i], s[i])) for i in range(m)]
-        commitment_b_dash = [_enc(xpc_gens.commit(b_dash_rows[i], s_dash[i]))
-                             for i in range(m)]
+        commitment_b = [_enc(c) for c in xpc_gens.commit_rows(b_rows, s)]
+        commitment_b_dash = [_enc(c) for c in
+                             xpc_gens.commit_rows(b_dash_rows, s_dash)]
         for cb, cbd in zip(commitment_b, commitment_b_dash):
             prover.allocate_point(b"BCommitment", cb)
             prover.allocate_point(b"BDashCommitment", cbd)

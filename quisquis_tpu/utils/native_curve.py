@@ -39,6 +39,11 @@ def _load():
         lib.qq_set_basepoint.argtypes = [ctypes.c_char_p]
         lib.qq_pt_base_mul.argtypes = [ctypes.c_char_p] * 2
         lib.qq_base_ready.restype = ctypes.c_int
+        lib.qq_pt_mul_batch.argtypes = [ctypes.c_uint64] + [ctypes.c_char_p] * 3
+        lib.qq_fold_batch.argtypes = [ctypes.c_uint64] + [ctypes.c_char_p] * 5
+        lib.qq_pt_msm_many.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     except (OSError, AttributeError):
         return None
     _lib = lib
@@ -105,6 +110,43 @@ def pt_msm(scalars, points, order: int) -> tuple:
     out = ctypes.create_string_buffer(128)
     _lib.qq_pt_msm(n, sbuf, pbuf, out)
     return _pt_from_bytes(out.raw)
+
+
+def pt_mul_batch(scalars, points, order: int) -> List[tuple]:
+    """out[i] = s_i * P_i — one marshal for the whole batch."""
+    n = len(scalars)
+    sbuf = b"".join((s % order).to_bytes(32, "little") for s in scalars)
+    pbuf = b"".join(_pt_to_bytes(p) for p in points)
+    out = ctypes.create_string_buffer(128 * n)
+    _lib.qq_pt_mul_batch(n, sbuf, pbuf, out)
+    raw = out.raw
+    return [_pt_from_bytes(raw[128 * i:128 * (i + 1)]) for i in range(n)]
+
+
+def fold_batch(a_scalars, b_scalars, ps, qs, order: int) -> List[tuple]:
+    """out[i] = a_i*P_i + b_i*Q_i (Strauss shared-doubling per element)."""
+    n = len(ps)
+    abuf = b"".join((a % order).to_bytes(32, "little") for a in a_scalars)
+    bbuf = b"".join((b % order).to_bytes(32, "little") for b in b_scalars)
+    pbuf = b"".join(_pt_to_bytes(p) for p in ps)
+    qbuf = b"".join(_pt_to_bytes(q) for q in qs)
+    out = ctypes.create_string_buffer(128 * n)
+    _lib.qq_fold_batch(n, abuf, bbuf, pbuf, qbuf, out)
+    raw = out.raw
+    return [_pt_from_bytes(raw[128 * i:128 * (i + 1)]) for i in range(n)]
+
+
+def pt_msm_many(items, order: int) -> List[tuple]:
+    """Independent MSMs threaded across rows: items = [(scalars, points), ...]."""
+    rows = len(items)
+    ns = (ctypes.c_uint64 * rows)(*[len(s) for s, _ in items])
+    sbuf = b"".join((s % order).to_bytes(32, "little")
+                    for ss, _ in items for s in ss)
+    pbuf = b"".join(_pt_to_bytes(p) for _, pp in items for p in pp)
+    out = ctypes.create_string_buffer(128 * rows)
+    _lib.qq_pt_msm_many(rows, ns, sbuf, pbuf, out)
+    raw = out.raw
+    return [_pt_from_bytes(raw[128 * i:128 * (i + 1)]) for i in range(rows)]
 
 
 def pt_base_mul(s: int, order: int) -> tuple:

@@ -111,3 +111,17 @@ def test_sharded_commitment_verify():
     assert sharded_commitment_verify(mesh, sharded_comm,
                                      shard_batch(mesh, sk_n),
                                      shard_batch(mesh, v_n))
+
+
+def test_msm_pippenger_matches_ladder_and_host():
+    r = SeededRng(seed=b"pip")
+    n = 48  # non-power-of-two exercises the padded tree reduction
+    ss = [r.random_scalar() for _ in range(n)]
+    host_pts = [ex.pt_base_mul(r.random_scalar()) for _ in range(n)]
+    expected = ex.pt_msm(ss, host_pts)
+    nib = jnp.asarray(pt.scalars_to_nibbles(ss))
+    dev = pt.from_exact_batch(host_pts)
+    for fn in (qmsm.msm_pippenger_raw, qmsm.msm_ladder_raw):
+        out = jax.jit(fn)(nib, dev)
+        single = pt.ExtPoint(out.x[None], out.y[None], out.z[None], out.t[None])
+        assert ex.pt_eq(pt.to_exact_batch(single)[0], expected)

@@ -57,3 +57,39 @@ def test_native_decode_matches_python():
     noncanon = (ex.P + 3).to_bytes(32, "little")
     assert ex.ristretto_decode(noncanon) is None
     assert ex.ristretto_decode_py(noncanon) is None
+
+
+def test_native_batch_ops_match_python():
+    n = 11
+    ss = [rng.randrange(ex.L) for _ in range(n)]
+    ts = [rng.randrange(ex.L) for _ in range(n)]
+    ps = [ex.pt_mul(s, ex.BASEPOINT) for s in ss]
+    qs = [ex.pt_mul(t, ex.BASEPOINT) for t in ts]
+    # pt_mul_batch
+    got = ex.pt_mul_batch(ts, ps)
+    want = ex.pt_mul_batch_py(ts, ps)
+    assert [ex.ristretto_encode(g) for g in got] == \
+        [ex.ristretto_encode(w) for w in want]
+    # pt_fold_batch (incl. zero scalars hitting the identity start path)
+    aa = [0] + ss[1:]
+    bb = ts[:-1] + [0]
+    got = ex.pt_fold_batch(aa, bb, ps, qs)
+    want = ex.pt_fold_batch_py(aa, bb, ps, qs)
+    assert [ex.ristretto_encode(g) for g in got] == \
+        [ex.ristretto_encode(w) for w in want]
+    # pt_msm_many with ragged rows
+    items = [(ss[:3], ps[:3]), (ts[:7], qs[:7]), ([0, 0], ps[:2]), (ss, ps)]
+    got = ex.pt_msm_many(items)
+    want = ex.pt_msm_many_py(items)
+    assert [ex.ristretto_encode(g) for g in got] == \
+        [ex.ristretto_encode(w) for w in want]
+
+
+def test_native_threaded_msm_matches_python():
+    # large enough to split across threads (threshold 512/thread)
+    n = 2048
+    ss = [rng.randrange(ex.L) for _ in range(n)]
+    base = [ex.pt_mul(rng.randrange(1, 2**40), ex.BASEPOINT) for _ in range(32)]
+    ps = [base[i % 32] for i in range(n)]
+    assert ex.ristretto_encode(ex.pt_msm(ss, ps)) == \
+        ex.ristretto_encode_py(ex.pt_msm_py(ss, ps))

@@ -243,3 +243,16 @@ def test_delta_epsilon_nonzero_sum_not_identity():
     for e in epsilon[1:]:
         total_d = ex.pt_add(total_d, e.comm.d_point)
     assert ex.ristretto_encode(total_d) != b"\x00" * 32
+
+
+def test_malformed_inputs_rejected():
+    r = rng(b"malformed")
+    _, pk = keypair(r)
+    with pytest.raises(ValueError):
+        RistrettoPublicKey.from_bytes(b"\x00" * 63)
+    with pytest.raises(ValueError):
+        ElGamalCommitment.from_bytes(b"\x01" * 64)  # invalid points
+    # non-canonical / invalid compressed point in pk decompression
+    bad_pk = RistrettoPublicKey(b"\x01" * 32, b"\x02" * 32)
+    with pytest.raises(ValueError):
+        _ = bad_pk.gr_point

@@ -53,3 +53,11 @@ def test_shuffle_proof_deterministic_regression():
     assert len(blob) == 4224
     assert hashlib.sha256(blob).hexdigest() == (
         "714c71034a6c071311726d1c251be3e65f36a5a9b8fdb65256e216f50d468b1a")
+
+
+def test_serde_garbage_rejected():
+    import pytest
+    # truncated / garbage blobs raise cleanly instead of crashing
+    for blob in (b"", b"\x00" * 10, b"\xff" * 100):
+        with pytest.raises(Exception):
+            serde.shuffle_proof_from_bytes(blob)
