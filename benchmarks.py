@@ -153,6 +153,27 @@ def config4_range_proofs(batch=16):
            f"agg={batch}")
 
 
+def config4c_batch_verify(batch=256):
+    """Cross-proof batch verification (BASELINE config 4: batch 256)."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.bulletproofs.range_proof import RangeProof
+
+    r = SeededRng(seed=b"bench4c")
+    instances = []
+    for i in range(batch):
+        t = Transcript(b"b4c%d" % i)
+        proof, V = RangeProof.prove_multiple(
+            t, [r.random_scalar() % 2**64], [r.random_scalar()], 64, rng=r)
+        instances.append((proof, V))
+    t0 = time.perf_counter()
+    RangeProof.batch_verify(
+        [(p, V, Transcript(b"b4c%d" % i))
+         for i, (p, V) in enumerate(instances)], 64, rng=r)
+    dt = time.perf_counter() - t0
+    record("4c: range proof batch-verify", batch / dt, "proofs/s",
+           f"batch={batch}, one MSM, {dt*1e3:.0f} ms total")
+
+
 def config5_shuffle_64():
     from quisquis_tpu.accounts.transcript import Transcript, SeededRng
     from quisquis_tpu.accounts.prover import Prover
@@ -191,6 +212,7 @@ def main():
     config2_batched_updates()
     config3_msm()
     config4_range_proofs()
+    config4c_batch_verify()
     config5_shuffle_64()
     with open("BENCHMARKS.md", "w") as f:
         f.write(f"# Benchmark results\n\ndevice: `{dev}`\n\n")

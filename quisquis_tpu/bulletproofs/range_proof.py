@@ -231,6 +231,114 @@ class RangeProof:
                       n: int) -> None:
         self.verify_multiple(transcript, [value_commitment], n)
 
+    @staticmethod
+    def batch_verify(instances: Sequence[Tuple["RangeProof", Sequence[bytes],
+                                               Transcript]],
+                     n: int, rng: Optional[SeededRng] = None) -> None:
+        """Batch verification across many independent proofs (the crate's
+        `yoloproofs` behavior): every proof's two checks are folded, with
+        per-equation random weights, into ONE multiscalar multiplication
+        whose shared generator scalars accumulate across proofs.
+
+        instances: [(proof, value_commitments, transcript), ...]; each
+        transcript must be in the same state the corresponding single
+        verification would start from. Raises ValueError if the combined
+        check fails (at least one proof in the batch is invalid).
+        """
+        if rng is None:
+            rng = SeededRng()
+        pc = default_pedersen_gens()
+        max_m = max(len(V) for _, V, _ in instances)
+        bp = bulletproof_gens(n, max_m)
+        G = bp.G(n, max_m)
+        H = bp.H(n, max_m)
+        g_acc = [0] * (n * max_m)
+        h_acc = [0] * (n * max_m)
+        B_acc = 0
+        Bb_acc = 0
+        dyn_scalars: List[int] = []
+        dyn_points: List[ex.Point] = []
+
+        for proof, value_commitments, transcript in instances:
+            m = len(value_commitments)
+            assert m & (m - 1) == 0
+            nm = n * m
+            transcript.append_message(b"dom-sep", b"rangeproof v1")
+            transcript.append_u64(b"n", n)
+            transcript.append_u64(b"m", m)
+            for vb in value_commitments:
+                transcript.append_message(b"V", vb)
+            transcript.append_message(b"A", proof.A)
+            transcript.append_message(b"S", proof.S)
+            y = transcript.get_challenge(b"y")
+            z = transcript.get_challenge(b"z")
+            transcript.append_message(b"T_1", proof.T_1)
+            transcript.append_message(b"T_2", proof.T_2)
+            x = transcript.get_challenge(b"x")
+            transcript.append_scalar_var(b"t_x", proof.t_x)
+            transcript.append_scalar_var(b"t_x_blinding", proof.t_x_blinding)
+            transcript.append_scalar_var(b"e_blinding", proof.e_blinding)
+            w = transcript.get_challenge(b"w")
+            u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(
+                nm, transcript)
+
+            V_pts = [ex.ristretto_decode(vb) for vb in value_commitments]
+            A_pt = ex.ristretto_decode(proof.A)
+            S_pt = ex.ristretto_decode(proof.S)
+            T1_pt = ex.ristretto_decode(proof.T_1)
+            T2_pt = ex.ristretto_decode(proof.T_2)
+            L_pts = [ex.ristretto_decode(b_) for b_ in proof.ipp_proof.L_vec]
+            R_pts = [ex.ristretto_decode(b_) for b_ in proof.ipp_proof.R_vec]
+            if any(p is None for p in
+                   V_pts + [A_pt, S_pt, T1_pt, T2_pt] + L_pts + R_pts):
+                raise ValueError("Bulletproof batch verification failed: "
+                                 "bad point")
+
+            r1 = rng.random_scalar()
+            r2 = rng.random_scalar()
+            z2 = z * z % L
+            # check 1 (weighted r1):
+            #   t_x B + t_x_blinding B~ - sum z^2 z^j V_j - delta B
+            #   - x T1 - x^2 T2 == 0
+            B_acc = (B_acc + r1 * (proof.t_x - _delta(n, m, y, z))) % L
+            Bb_acc = (Bb_acc + r1 * proof.t_x_blinding) % L
+            for j, vp in enumerate(V_pts):
+                dyn_scalars.append((-r1) * z2 % L * pow(z, j, L) % L)
+                dyn_points.append(vp)
+            dyn_scalars.extend([(-r1) * x % L, (-r1) * x % L * x % L])
+            dyn_points.extend([T1_pt, T2_pt])
+
+            # check 2 + IPP (weighted r2):
+            #   A + x S - e_b B~ + w(t_x - a b) B + sum(-z - a s_i) G_i
+            #   + sum(h_i - b s_inv_i Hf_i) H_i + sum(u^2 L + u^-2 R) == 0
+            a, b = proof.ipp_proof.a, proof.ipp_proof.b
+            y_nm = _powers(y, nm)
+            y_inv = ex.sc_invert(y)
+            H_factors = _powers(y_inv, nm)
+            zeta = [z2 * pow(z, j, L) % L * pow(2, k, L) % L
+                    for j in range(m) for k in range(n)]
+            h_scalars = [(z * y_nm[i] + zeta[i]) % L * H_factors[i] % L
+                         for i in range(nm)]
+            s_inv = s[::-1]
+            dyn_scalars.extend([r2, r2 * x % L])
+            dyn_points.extend([A_pt, S_pt])
+            Bb_acc = (Bb_acc - r2 * proof.e_blinding) % L
+            B_acc = (B_acc + r2 * w % L * (proof.t_x - a * b)) % L
+            for i in range(nm):
+                g_acc[i] = (g_acc[i] + r2 * (-z - a * s[i])) % L
+                h_acc[i] = (h_acc[i] + r2 * (h_scalars[i]
+                                             - b * s_inv[i] % L
+                                             * H_factors[i])) % L
+            for k in range(len(L_pts)):
+                dyn_scalars.extend([r2 * u_sq[k] % L, r2 * u_inv_sq[k] % L])
+                dyn_points.extend([L_pts[k], R_pts[k]])
+
+        total = ex.pt_msm(
+            [B_acc, Bb_acc] + g_acc + h_acc + dyn_scalars,
+            [pc.B, pc.B_blinding] + G + H + dyn_points)
+        if ex.ristretto_encode(total) != b"\x00" * 32:
+            raise ValueError("Bulletproof batch verification failed")
+
     # ------------------------------------------------------------------ serde
 
     def to_bytes(self) -> bytes:

@@ -254,3 +254,127 @@ def base_mul_pallas(nibbles: jnp.ndarray, tile: int = TILE,
     """Fixed-base scalar-mul: 64 niels mixed additions, zero doublings."""
     ox, oy, oz, ot = base_mul_lm(nibbles.T, tile=tile, interpret=interpret)
     return pt.ExtPoint(ox.T, oy.T, oz.T, ot.T)
+
+
+# ---------------------------------------------------------------------------
+# MSM mega-kernel: shared-doubling Pippenger window accumulation
+# ---------------------------------------------------------------------------
+#
+# sum_i s_i*P_i = sum_w 16^w * T_w with T_w = sum_i digit_{i,w} * P_i.
+# The sequential grid walks point tiles; 64 per-window lane accumulators
+# (one point per window per lane) live in the revisited output block in
+# VMEM for the whole run. Each tile costs 14 table ops + 64 lookup-adds
+# per lane (~78 point-ops/point vs ~331 for the per-point ladder); the
+# tiny [64, tile] -> 1 tail (lane tree-reduce + Horner doubling chain)
+# runs in XLA afterwards.
+
+MSM_TILE = 256
+
+
+def _msm_kernel(consts_ref, nib_ref, x_ref, y_ref, z_ref, t_ref,
+                ox_ref, oy_ref, oz_ref, ot_ref):
+    tile = x_ref.shape[1]
+    bias = consts_ref[0:NL]
+    d2 = consts_ref[NL:2 * NL]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        zeros = jnp.zeros((64 * NL, tile), jnp.int32)
+        one = (jax.lax.broadcasted_iota(jnp.int32, (64 * NL, tile), 0) % NL
+               == 0).astype(jnp.int32)
+        ox_ref[:] = zeros
+        oy_ref[:] = one
+        oz_ref[:] = one
+        ot_ref[:] = zeros
+
+    p = (x_ref[:], y_ref[:], z_ref[:], t_ref[:])
+    zeros = jnp.zeros((NL, tile), jnp.int32)
+    one = (jax.lax.broadcasted_iota(jnp.int32, (NL, tile), 0) == 0).astype(jnp.int32)
+    table = [(zeros, one, one, zeros), p]
+    for k in range(2, 16):
+        if k % 2 == 0:
+            table.append(_k_double(*table[k // 2], bias, True))
+        else:
+            table.append(_k_add_pt(table[k - 1], p, bias, d2, True))
+    tx = jnp.concatenate([e[0] for e in table], axis=0)
+    ty = jnp.concatenate([e[1] for e in table], axis=0)
+    tz = jnp.concatenate([e[2] for e in table], axis=0)
+    tt = jnp.concatenate([e[3] for e in table], axis=0)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (16 * NL, tile), 0) // NL
+
+    def body(w, carry):
+        digit = nib_ref[pl.ds(w, 1), :]
+        oh = (ids == digit).astype(jnp.int32)
+        qx = (tx * oh).reshape(16, NL, tile).sum(axis=0)
+        qy = (ty * oh).reshape(16, NL, tile).sum(axis=0)
+        qz = (tz * oh).reshape(16, NL, tile).sum(axis=0)
+        qt = (tt * oh).reshape(16, NL, tile).sum(axis=0)
+        sl = (pl.ds(w * NL, NL), slice(None))
+        acc = (ox_ref[sl], oy_ref[sl], oz_ref[sl], ot_ref[sl])
+        nx, ny, nz, nt = _k_add_pt(acc, (qx, qy, qz, qt), bias, d2, True)
+        ox_ref[sl] = nx
+        oy_ref[sl] = ny
+        oz_ref[sl] = nz
+        ot_ref[sl] = nt
+        return carry
+
+    jax.lax.fori_loop(0, 64, body, 0)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def msm_window_sums_lm(nibbles_lm: jnp.ndarray, x, y, z, t,
+                       tile: int = MSM_TILE, interpret: bool = False):
+    """Per-window lane accumulators: nibbles [64, B], coords [24, B] ->
+    4 x [64*NL, tile] (window-major rows)."""
+    B = x.shape[1]
+    assert B % tile == 0, (B, tile)
+    spec_n = pl.BlockSpec((64, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((NL, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((2 * NL, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((64 * NL, tile), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _msm_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((64 * NL, tile), jnp.int32)
+                        for _ in range(4)),
+        grid=(B // tile,),
+        in_specs=[spec_k, spec_n, spec_c, spec_c, spec_c, spec_c],
+        out_specs=(spec_o, spec_o, spec_o, spec_o),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), nibbles_lm, x, y, z, t)
+
+
+def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
+               tile: int = MSM_TILE, interpret: bool = False) -> pt.ExtPoint:
+    """Full MSM: batch [B, 64] digits + ExtPoint batch [B] -> single point.
+
+    Pads the batch to a tile multiple with zero digits + identity points
+    (contributing nothing); the per-window tail (lane tree-reduce + Horner
+    chain) runs in XLA on [64, tile] points.
+    """
+    B = nibbles.shape[0]
+    pad = (-B) % tile
+    if pad:
+        nibbles = jnp.concatenate(
+            [nibbles, jnp.zeros((pad, 64), nibbles.dtype)], axis=0)
+        idp = pt.identity((pad,))
+        p = pt.ExtPoint(*(jnp.concatenate([a, b], axis=0)
+                          for a, b in zip(p, idp)))
+    ox, oy, oz, ot = msm_window_sums_lm(nibbles.T, p.x.T, p.y.T, p.z.T, p.t.T,
+                                        tile=tile, interpret=interpret)
+    # rows are window-major: [64*NL, tile] -> [64, tile, NL]
+    acc = pt.ExtPoint(*(c.reshape(64, NL, tile).swapaxes(1, 2)
+                        for c in (ox, oy, oz, ot)))
+    T = pt.sum_points_raw(acc, 1)  # [64] points
+
+    def take_w(w):
+        return pt.ExtPoint(T.x[w], T.y[w], T.z[w], T.t[w])
+
+    def body(i, a):
+        w = 62 - i
+        for k in range(4):
+            a = pt.double_raw(a, need_t=(k == 3))
+        return pt.add_raw(a, take_w(w))
+
+    return jax.lax.fori_loop(0, 63, body, take_w(63))

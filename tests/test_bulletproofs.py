@@ -98,3 +98,34 @@ def test_range_proof_transcript_chaining():
     t2.append_message(b"prefix", b"state2")
     with pytest.raises(ValueError):
         proof.verify_single(t2, V, 64)
+
+
+def test_batch_verify_many_proofs():
+    """Cross-proof batch verification (yoloproofs behavior): one MSM."""
+    r = SeededRng(seed=b"bv")
+    instances = []
+    for i in range(4):
+        m = 2 if i % 2 else 1
+        vals = [r.random_scalar() % 2**64 for _ in range(m)]
+        blinds = [r.random_scalar() for _ in range(m)]
+        t = Transcript(b"rp%d" % i)
+        proof, V = RangeProof.prove_multiple(t, vals, blinds, 64, rng=r)
+        instances.append((proof, V))
+    RangeProof.batch_verify(
+        [(p, V, Transcript(b"rp%d" % i))
+         for i, (p, V) in enumerate(instances)], 64, rng=r)
+    # serde roundtrip through the batch path
+    instances2 = [(RangeProof.from_bytes(p.to_bytes()), V)
+                  for p, V in instances]
+    RangeProof.batch_verify(
+        [(p, V, Transcript(b"rp%d" % i))
+         for i, (p, V) in enumerate(instances2)], 64, rng=r)
+    # one bad proof poisons the whole batch
+    import dataclasses
+    bad3 = dataclasses.replace(instances[3][0],
+                               t_x=(instances[3][0].t_x + 1) % L)
+    poisoned = [(bad3 if i == 3 else p, V) for i, (p, V) in enumerate(instances)]
+    with pytest.raises(ValueError):
+        RangeProof.batch_verify(
+            [(p, V, Transcript(b"rp%d" % i))
+             for i, (p, V) in enumerate(poisoned)], 64, rng=r)
