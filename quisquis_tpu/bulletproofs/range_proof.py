@@ -356,3 +356,16 @@ class RangeProof:
         e_b = ex.sc_from_bytes_mod_order(data[192:224])
         ipp = InnerProductProof.from_bytes(data[224:])
         return cls(A, S, T1, T2, t_x, t_x_b, e_b, ipp)
+
+
+# observability: wall-clock per proof op + proof sizes (bytes)
+from ..utils.metrics import instrument as _instrument  # noqa: E402
+
+RangeProof.prove_multiple = staticmethod(
+    _instrument("rangeproof.prove", "rangeproof.bytes",
+                lambda out: len(out[0].to_bytes()))(
+        RangeProof.prove_multiple))
+RangeProof.verify_multiple = _instrument("rangeproof.verify")(
+    RangeProof.verify_multiple)
+RangeProof.batch_verify = staticmethod(
+    _instrument("rangeproof.batch_verify")(RangeProof.batch_verify))

@@ -269,25 +269,15 @@ def base_mul_pallas(nibbles: jnp.ndarray, tile: int = TILE,
 # runs in XLA afterwards.
 
 MSM_TILE = 256
+WGROUP = 8  # windows handled per accumulation grid step (64 / WGROUP groups)
 
 
-def _msm_kernel(consts_ref, nib_ref, x_ref, y_ref, z_ref, t_ref,
-                ox_ref, oy_ref, oz_ref, ot_ref):
+def _msm_table_kernel(consts_ref, x_ref, y_ref, z_ref, t_ref,
+                      tx_ref, ty_ref, tz_ref, tt_ref):
+    """Per-point 16-entry small-multiple tables: [NL, tile] -> [16*NL, tile]."""
     tile = x_ref.shape[1]
     bias = consts_ref[0:NL]
     d2 = consts_ref[NL:2 * NL]
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _init():
-        zeros = jnp.zeros((64 * NL, tile), jnp.int32)
-        one = (jax.lax.broadcasted_iota(jnp.int32, (64 * NL, tile), 0) % NL
-               == 0).astype(jnp.int32)
-        ox_ref[:] = zeros
-        oy_ref[:] = one
-        oz_ref[:] = one
-        ot_ref[:] = zeros
-
     p = (x_ref[:], y_ref[:], z_ref[:], t_ref[:])
     zeros = jnp.zeros((NL, tile), jnp.int32)
     one = (jax.lax.broadcasted_iota(jnp.int32, (NL, tile), 0) == 0).astype(jnp.int32)
@@ -297,29 +287,51 @@ def _msm_kernel(consts_ref, nib_ref, x_ref, y_ref, z_ref, t_ref,
             table.append(_k_double(*table[k // 2], bias, True))
         else:
             table.append(_k_add_pt(table[k - 1], p, bias, d2, True))
-    tx = jnp.concatenate([e[0] for e in table], axis=0)
-    ty = jnp.concatenate([e[1] for e in table], axis=0)
-    tz = jnp.concatenate([e[2] for e in table], axis=0)
-    tt = jnp.concatenate([e[3] for e in table], axis=0)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (16 * NL, tile), 0) // NL
+    tx_ref[:] = jnp.concatenate([e[0] for e in table], axis=0)
+    ty_ref[:] = jnp.concatenate([e[1] for e in table], axis=0)
+    tz_ref[:] = jnp.concatenate([e[2] for e in table], axis=0)
+    tt_ref[:] = jnp.concatenate([e[3] for e in table], axis=0)
 
-    def body(w, carry):
-        digit = nib_ref[pl.ds(w, 1), :]
+
+def _msm_acc_kernel(consts_ref, nib_ref, tx_ref, ty_ref, tz_ref, tt_ref,
+                    ox_ref, oy_ref, oz_ref, ot_ref):
+    """Accumulate WGROUP window sums over point tiles.
+
+    Grid (wgroups, tiles), tiles innermost: each output block (one point
+    per window in the group, per lane) stays in VMEM across its whole
+    run of tile steps (classic revisited-accumulator pattern); all slicing
+    is static."""
+    tile = tx_ref.shape[1]
+    bias = consts_ref[0:NL]
+    d2 = consts_ref[NL:2 * NL]
+    i_tile = pl.program_id(1)
+
+    @pl.when(i_tile == 0)
+    def _init():
+        zeros = jnp.zeros((WGROUP * NL, tile), jnp.int32)
+        one = (jax.lax.broadcasted_iota(jnp.int32, (WGROUP * NL, tile), 0) % NL
+               == 0).astype(jnp.int32)
+        ox_ref[:] = zeros
+        oy_ref[:] = one
+        oz_ref[:] = one
+        ot_ref[:] = zeros
+
+    tx, ty, tz, tt = tx_ref[:], ty_ref[:], tz_ref[:], tt_ref[:]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (16 * NL, tile), 0) // NL
+    for j in range(WGROUP):
+        digit = nib_ref[j:j + 1, :]
         oh = (ids == digit).astype(jnp.int32)
-        qx = (tx * oh).reshape(16, NL, tile).sum(axis=0)
-        qy = (ty * oh).reshape(16, NL, tile).sum(axis=0)
-        qz = (tz * oh).reshape(16, NL, tile).sum(axis=0)
-        qt = (tt * oh).reshape(16, NL, tile).sum(axis=0)
-        sl = (pl.ds(w * NL, NL), slice(None))
+        q = ((tx * oh).reshape(16, NL, tile).sum(axis=0),
+             (ty * oh).reshape(16, NL, tile).sum(axis=0),
+             (tz * oh).reshape(16, NL, tile).sum(axis=0),
+             (tt * oh).reshape(16, NL, tile).sum(axis=0))
+        sl = slice(j * NL, (j + 1) * NL)
         acc = (ox_ref[sl], oy_ref[sl], oz_ref[sl], ot_ref[sl])
-        nx, ny, nz, nt = _k_add_pt(acc, (qx, qy, qz, qt), bias, d2, True)
+        nx, ny, nz, nt = _k_add_pt(acc, q, bias, d2, True)
         ox_ref[sl] = nx
         oy_ref[sl] = ny
         oz_ref[sl] = nz
         ot_ref[sl] = nt
-        return carry
-
-    jax.lax.fori_loop(0, 64, body, 0)
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -329,29 +341,48 @@ def msm_window_sums_lm(nibbles_lm: jnp.ndarray, x, y, z, t,
     4 x [64*NL, tile] (window-major rows)."""
     B = x.shape[1]
     assert B % tile == 0, (B, tile)
-    spec_n = pl.BlockSpec((64, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     spec_c = pl.BlockSpec((NL, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((2 * NL, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec_o = pl.BlockSpec((64 * NL, tile), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _msm_kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((64 * NL, tile), jnp.int32)
+    spec_k1 = pl.BlockSpec((2 * NL, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_t1 = pl.BlockSpec((16 * NL, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tabs = pl.pallas_call(
+        _msm_table_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((16 * NL, B), jnp.int32)
                         for _ in range(4)),
         grid=(B // tile,),
-        in_specs=[spec_k, spec_n, spec_c, spec_c, spec_c, spec_c],
-        out_specs=(spec_o, spec_o, spec_o, spec_o),
+        in_specs=[spec_k1, spec_c, spec_c, spec_c, spec_c],
+        out_specs=(spec_t1, spec_t1, spec_t1, spec_t1),
         interpret=interpret,
-    )(jnp.asarray(_CONSTS), nibbles_lm, x, y, z, t)
+    )(jnp.asarray(_CONSTS), x, y, z, t)
+
+    spec_k2 = pl.BlockSpec((2 * NL, 1), lambda g, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_n2 = pl.BlockSpec((WGROUP, tile), lambda g, i: (g, i),
+                           memory_space=pltpu.VMEM)
+    spec_t2 = pl.BlockSpec((16 * NL, tile), lambda g, i: (0, i),
+                           memory_space=pltpu.VMEM)
+    spec_o2 = pl.BlockSpec((WGROUP * NL, tile), lambda g, i: (g, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _msm_acc_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((64 * NL, tile), jnp.int32)
+                        for _ in range(4)),
+        grid=(64 // WGROUP, B // tile),
+        in_specs=[spec_k2, spec_n2, spec_t2, spec_t2, spec_t2, spec_t2],
+        out_specs=(spec_o2, spec_o2, spec_o2, spec_o2),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), nibbles_lm, *tabs)
 
 
+@partial(jax.jit, static_argnames=("tile", "interpret"))
 def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
                tile: int = MSM_TILE, interpret: bool = False) -> pt.ExtPoint:
     """Full MSM: batch [B, 64] digits + ExtPoint batch [B] -> single point.
 
     Pads the batch to a tile multiple with zero digits + identity points
     (contributing nothing); the per-window tail (lane tree-reduce + Horner
-    chain) runs in XLA on [64, tile] points.
+    chain) runs in XLA on [64, tile] points. The whole pipeline is jitted —
+    an eager tail would pay a dispatch round-trip per point op.
     """
     B = nibbles.shape[0]
     pad = (-B) % tile

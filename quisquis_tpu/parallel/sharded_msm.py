@@ -21,13 +21,15 @@ from jax import shard_map
 from ..ops import field as fe
 from ..ops import point as pt
 from ..ops import batch as qbatch
+from ..ops import msm as qmsm
 
 AXIS = "shard"
 
 
 def _local_msm(nibbles, points: pt.ExtPoint) -> pt.ExtPoint:
-    prods = pt.scalar_mul_raw(nibbles, points)
-    local = pt.sum_points_raw(prods, 0)
+    """Per-device partial MSM (shared-doubling Pippenger form for larger
+    shards, lockstep ladder for tiny ones — see ops.msm.msm_raw)."""
+    local = qmsm.msm_raw(nibbles, points)
     return pt.ExtPoint(local.x[None], local.y[None], local.z[None], local.t[None])
 
 

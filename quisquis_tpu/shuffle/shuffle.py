@@ -322,3 +322,11 @@ class ShuffleProof:
         self.multi_exponen_commit.verify_multiexponential_elgamal_commit_proof(
             verifier, self.c_B, list(shuffle_output), list(shuffle_input),
             xpc_gens, pk_GH, exp_x, m, n_cols)
+
+
+# observability (SURVEY §5: the reference has none; we time every proof)
+from ..utils.metrics import instrument as _instrument  # noqa: E402
+
+ShuffleProof.create_shuffle_proof = staticmethod(
+    _instrument("shuffle.prove")(ShuffleProof.create_shuffle_proof))
+ShuffleProof.verify = _instrument("shuffle.verify")(ShuffleProof.verify)

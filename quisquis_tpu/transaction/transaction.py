@@ -328,3 +328,11 @@ def create_transaction(
         epsilon_accounts, updated_delta_accounts, output_accounts)
     return (tx, range_proofs, input_shuffle_proof, input_shuffle_statement,
             output_shuffle_proof, output_shuffle_statement)
+
+
+# observability
+from ..utils.metrics import instrument as _instrument  # noqa: E402
+
+create_transaction = _instrument("transaction.create")(create_transaction)
+create_transaction_r1cs = _instrument("transaction.create_r1cs")(
+    create_transaction_r1cs)

@@ -67,3 +67,26 @@ metrics = Metrics()
 
 def timed(name: str):
     return metrics.timer(name)
+
+
+def instrument(name: str, size_counter: str = "", size_of=None):
+    """Decorator: record wall-clock under `name` (and optionally a result
+    size via `size_of(result)` into `size_counter`) per call."""
+
+    def wrap(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            with metrics.timer(name):
+                out = fn(*args, **kwargs)
+            if size_counter and size_of is not None:
+                try:
+                    metrics.count(size_counter, size_of(out))
+                except Exception:
+                    pass
+            return out
+
+        return inner
+
+    return wrap

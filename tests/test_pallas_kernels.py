@@ -5,7 +5,8 @@ import jax.numpy as jnp
 
 from quisquis_tpu.ops import exact as ex
 from quisquis_tpu.ops import point as pt
-from quisquis_tpu.ops.pallas_point import scalar_mul_pallas
+from quisquis_tpu.ops.pallas_point import scalar_mul_pallas, msm_pallas
+from quisquis_tpu.accounts.transcript import SeededRng
 
 
 def test_pallas_scalar_mul_matches_exact():
@@ -29,3 +30,15 @@ def test_pallas_base_mul_matches_exact():
     got = pt.compress_to_bytes(out)
     for i, s in enumerate(scalars):
         assert bytes(got[i]) == ex.ristretto_encode(ex.pt_base_mul(s))
+
+
+def test_pallas_msm_matches_exact():
+    r = SeededRng(seed=b"pmsm")
+    n = 20  # pads to one 256-lane tile; exercises padding + both kernels
+    ss = [r.random_scalar() for _ in range(n)]
+    host_pts = [ex.pt_base_mul(r.random_scalar()) for _ in range(n)]
+    nib = jnp.asarray(pt.scalars_to_nibbles(ss))
+    dev = pt.from_exact_batch(host_pts)
+    out = msm_pallas(nib, dev, interpret=True)
+    single = pt.ExtPoint(out.x[None], out.y[None], out.z[None], out.t[None])
+    assert ex.pt_eq(pt.to_exact_batch(single)[0], ex.pt_msm(ss, host_pts))
