@@ -110,25 +110,33 @@ def config3_msm(log_n=16):
 
     n = 1 << log_n
     rng = np.random.default_rng(3)
-    seed = jnp.asarray(rng.integers(0, 16, (n, 64), dtype=np.int32))
-    points = jax.jit(pt.base_mul_raw)(seed)
-    np.asarray(points.x[0, 0])
-    nib = jnp.asarray(rng.integers(0, 16, (n, 64), dtype=np.int32))
 
     def msm(nib, px, py, pz, ptt):
         # top-level dispatch: Pallas two-kernel Pippenger pipeline on TPU
         return qmsm.msm(nib, pt.ExtPoint(px, py, pz, ptt))
 
-    out = msm(nib, *points)
-    np.asarray(out.x[0])
+    # latency-compensated (like config 2): the tunnel to the bench TPU adds
+    # a fixed ~60 ms round trip per call; the slope between two sizes
+    # measures device throughput
     reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    times = {}
+    for nn in (n // 4, n):
+        seed = jnp.asarray(rng.integers(0, 16, (nn, 64), dtype=np.int32))
+        points = jax.jit(pt.base_mul_raw)(seed)
+        np.asarray(points.x[0, 0])
+        nib = jnp.asarray(rng.integers(0, 16, (nn, 64), dtype=np.int32))
         out = msm(nib, *points)
         np.asarray(out.x[0])
-    dt = (time.perf_counter() - t0) / reps
-    record("3: Pippenger-class MSM 2^16 (device)", n / dt, "points/s",
-           f"total={dt*1000:.0f}ms")
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = msm(nib, *points)
+            np.asarray(out.x[0])
+            best = min(best, time.perf_counter() - t0)
+        times[nn] = best
+    per_point = (times[n] - times[n // 4]) / (n - n // 4)
+    record("3: Pippenger-class MSM 2^16 (device)", 1.0 / per_point, "points/s",
+           f"slope {n // 4}->{n}, total={times[n]*1000:.0f}ms")
 
 
 def config4_range_proofs(batch=16):

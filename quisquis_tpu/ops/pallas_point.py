@@ -294,7 +294,7 @@ def _msm_table_kernel(consts_ref, x_ref, y_ref, z_ref, t_ref,
 
 
 def _msm_acc_kernel(consts_ref, nib_ref, tx_ref, ty_ref, tz_ref, tt_ref,
-                    ox_ref, oy_ref, oz_ref, ot_ref):
+                    ox_ref, oy_ref, oz_ref, ot_ref, *, wgroup: int):
     """Accumulate WGROUP window sums over point tiles.
 
     Grid (wgroups, tiles), tiles innermost: each output block (one point
@@ -308,8 +308,8 @@ def _msm_acc_kernel(consts_ref, nib_ref, tx_ref, ty_ref, tz_ref, tt_ref,
 
     @pl.when(i_tile == 0)
     def _init():
-        zeros = jnp.zeros((WGROUP * NL, tile), jnp.int32)
-        one = (jax.lax.broadcasted_iota(jnp.int32, (WGROUP * NL, tile), 0) % NL
+        zeros = jnp.zeros((wgroup * NL, tile), jnp.int32)
+        one = (jax.lax.broadcasted_iota(jnp.int32, (wgroup * NL, tile), 0) % NL
                == 0).astype(jnp.int32)
         ox_ref[:] = zeros
         oy_ref[:] = one
@@ -318,7 +318,7 @@ def _msm_acc_kernel(consts_ref, nib_ref, tx_ref, ty_ref, tz_ref, tt_ref,
 
     tx, ty, tz, tt = tx_ref[:], ty_ref[:], tz_ref[:], tt_ref[:]
     ids = jax.lax.broadcasted_iota(jnp.int32, (16 * NL, tile), 0) // NL
-    for j in range(WGROUP):
+    for j in range(wgroup):
         digit = nib_ref[j:j + 1, :]
         oh = (ids == digit).astype(jnp.int32)
         q = ((tx * oh).reshape(16, NL, tile).sum(axis=0),
@@ -334,9 +334,10 @@ def _msm_acc_kernel(consts_ref, nib_ref, tx_ref, ty_ref, tz_ref, tt_ref,
         ot_ref[sl] = nt
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "wgroup", "interpret"))
 def msm_window_sums_lm(nibbles_lm: jnp.ndarray, x, y, z, t,
-                       tile: int = MSM_TILE, interpret: bool = False):
+                       tile: int = MSM_TILE, wgroup: int = WGROUP,
+                       interpret: bool = False):
     """Per-window lane accumulators: nibbles [64, B], coords [24, B] ->
     4 x [64*NL, tile] (window-major rows)."""
     B = x.shape[1]
@@ -357,26 +358,27 @@ def msm_window_sums_lm(nibbles_lm: jnp.ndarray, x, y, z, t,
 
     spec_k2 = pl.BlockSpec((2 * NL, 1), lambda g, i: (0, 0),
                            memory_space=pltpu.VMEM)
-    spec_n2 = pl.BlockSpec((WGROUP, tile), lambda g, i: (g, i),
+    spec_n2 = pl.BlockSpec((wgroup, tile), lambda g, i: (g, i),
                            memory_space=pltpu.VMEM)
     spec_t2 = pl.BlockSpec((16 * NL, tile), lambda g, i: (0, i),
                            memory_space=pltpu.VMEM)
-    spec_o2 = pl.BlockSpec((WGROUP * NL, tile), lambda g, i: (g, 0),
+    spec_o2 = pl.BlockSpec((wgroup * NL, tile), lambda g, i: (g, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _msm_acc_kernel,
+        partial(_msm_acc_kernel, wgroup=wgroup),
         out_shape=tuple(jax.ShapeDtypeStruct((64 * NL, tile), jnp.int32)
                         for _ in range(4)),
-        grid=(64 // WGROUP, B // tile),
+        grid=(64 // wgroup, B // tile),
         in_specs=[spec_k2, spec_n2, spec_t2, spec_t2, spec_t2, spec_t2],
         out_specs=(spec_o2, spec_o2, spec_o2, spec_o2),
         interpret=interpret,
     )(jnp.asarray(_CONSTS), nibbles_lm, *tabs)
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "wgroup", "interpret"))
 def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
-               tile: int = MSM_TILE, interpret: bool = False) -> pt.ExtPoint:
+               tile: int = MSM_TILE, wgroup: int = WGROUP,
+               interpret: bool = False) -> pt.ExtPoint:
     """Full MSM: batch [B, 64] digits + ExtPoint batch [B] -> single point.
 
     Pads the batch to a tile multiple with zero digits + identity points
@@ -393,7 +395,8 @@ def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
         p = pt.ExtPoint(*(jnp.concatenate([a, b], axis=0)
                           for a, b in zip(p, idp)))
     ox, oy, oz, ot = msm_window_sums_lm(nibbles.T, p.x.T, p.y.T, p.z.T, p.t.T,
-                                        tile=tile, interpret=interpret)
+                                        tile=tile, wgroup=wgroup,
+                                        interpret=interpret)
     # rows are window-major: [64*NL, tile] -> [64, tile, NL]
     acc = pt.ExtPoint(*(c.reshape(64, NL, tile).swapaxes(1, 2)
                         for c in (ox, oy, oz, ot)))
