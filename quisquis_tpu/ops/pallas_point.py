@@ -375,6 +375,44 @@ def msm_window_sums_lm(nibbles_lm: jnp.ndarray, x, y, z, t,
     )(jnp.asarray(_CONSTS), nibbles_lm, *tabs)
 
 
+def _msm_tail_kernel(consts_ref, wx_ref, wy_ref, wz_ref, wt_ref,
+                     ox_ref, oy_ref, oz_ref, ot_ref):
+    """Horner fold of the 64 window accumulators + lane reduction, in VMEM.
+
+    Inputs are the window-major lane accumulators [64*NL, tile]. The Horner
+    recurrence acc = 16*acc + W_w runs PER LANE (every lane folds its own
+    window partials — sum_lane sum_w 16^w P[w,lane] == sum_w 16^w T_w), so
+    all 63 iterations operate on full [NL, tile] blocks; a single log-step
+    lane tree-reduce (circular roll + add) at the end produces the total in
+    every lane. One kernel launch replaces ~320 tiny sequential XLA point
+    ops — the fixed tail that dominated MSM wall-clock at 2^16 points.
+    """
+    tile = wx_ref.shape[1]
+    bias = consts_ref[0:NL]
+    d2 = consts_ref[NL:2 * NL]
+
+    def win(w):
+        idx = pl.multiple_of(w * NL, 8)
+        return (wx_ref[pl.ds(idx, NL)], wy_ref[pl.ds(idx, NL)],
+                wz_ref[pl.ds(idx, NL)], wt_ref[pl.ds(idx, NL)])
+
+    def body(i, acc):
+        w = 62 - i
+        for k in range(4):
+            acc = _k_double(*acc, bias, need_t=(k == 3))
+        return _k_add_pt(acc, win(w), bias, d2, need_t=True)
+
+    acc = jax.lax.fori_loop(0, 63, body, win(63))
+
+    step = tile // 2
+    while step:
+        rolled = tuple(pltpu.roll(c, step, 1) for c in acc)
+        acc = _k_add_pt(acc, rolled, bias, d2, need_t=True)
+        step //= 2
+
+    ox_ref[:], oy_ref[:], oz_ref[:], ot_ref[:] = acc
+
+
 @partial(jax.jit, static_argnames=("tile", "wgroup", "interpret"))
 def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
                tile: int = MSM_TILE, wgroup: int = WGROUP,
@@ -382,9 +420,9 @@ def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
     """Full MSM: batch [B, 64] digits + ExtPoint batch [B] -> single point.
 
     Pads the batch to a tile multiple with zero digits + identity points
-    (contributing nothing); the per-window tail (lane tree-reduce + Horner
-    chain) runs in XLA on [64, tile] points. The whole pipeline is jitted —
-    an eager tail would pay a dispatch round-trip per point op.
+    (contributing nothing); three Pallas kernels run back to back (per-point
+    tables -> window accumulation -> Horner/lane-reduce tail), keeping the
+    whole pipeline on device with no per-point-op dispatch overhead.
     """
     B = nibbles.shape[0]
     pad = (-B) % tile
@@ -397,18 +435,15 @@ def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
     ox, oy, oz, ot = msm_window_sums_lm(nibbles.T, p.x.T, p.y.T, p.z.T, p.t.T,
                                         tile=tile, wgroup=wgroup,
                                         interpret=interpret)
-    # rows are window-major: [64*NL, tile] -> [64, tile, NL]
-    acc = pt.ExtPoint(*(c.reshape(64, NL, tile).swapaxes(1, 2)
-                        for c in (ox, oy, oz, ot)))
-    T = pt.sum_points_raw(acc, 1)  # [64] points
-
-    def take_w(w):
-        return pt.ExtPoint(T.x[w], T.y[w], T.z[w], T.t[w])
-
-    def body(i, a):
-        w = 62 - i
-        for k in range(4):
-            a = pt.double_raw(a, need_t=(k == 3))
-        return pt.add_raw(a, take_w(w))
-
-    return jax.lax.fori_loop(0, 63, body, take_w(63))
+    spec_w = pl.BlockSpec((64 * NL, tile), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((NL, tile), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((2 * NL, 1), memory_space=pltpu.VMEM)
+    rx, ry, rz, rt = pl.pallas_call(
+        _msm_tail_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((NL, tile), jnp.int32)
+                        for _ in range(4)),
+        in_specs=[spec_k, spec_w, spec_w, spec_w, spec_w],
+        out_specs=(spec_o, spec_o, spec_o, spec_o),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), ox, oy, oz, ot)
+    return pt.ExtPoint(rx[:, 0], ry[:, 0], rz[:, 0], rt[:, 0])
