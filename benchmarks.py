@@ -216,6 +216,98 @@ def config5_shuffle_64():
     record("5b: 64-account shuffle verify", t_verify * 1000, "ms")
 
 
+def config5c_batch_shuffle_verify(batch=16, n=64):
+    """Batched shuffle-proof verification: all point checks from `batch`
+    proofs random-weighted into ONE device MSM (BASELINE config 5 target:
+    batched shuffle-proof verification, sharded point axis)."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.accounts.verifier import Verifier
+    from quisquis_tpu.shuffle.shuffle import (Shuffle, ShuffleProof,
+                                              batch_verify_shuffle_proofs)
+    from quisquis_tpu.primitives.keys import (RistrettoSecretKey,
+                                              RistrettoPublicKey)
+    from quisquis_tpu.accounts.accounts import Account
+
+    r = SeededRng(seed=b"bench5c")
+    accounts = []
+    for _ in range(n):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        accounts.append(acc)
+
+    def make_entry(i):
+        sh = Shuffle.input_shuffle(accounts, rng=r)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=r)
+        proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+        return (proof, statement, sh.get_inputs_vector(),
+                sh.get_outputs_vector())
+
+    entries = [make_entry(i) for i in range(batch)]
+
+    def run(backend):
+        items = [(p, Verifier(b"Shuffle", Transcript(b"ShuffleProof")), s,
+                  inp, outp) for p, s, inp, outp in entries]
+        t0 = time.perf_counter()
+        batch_verify_shuffle_proofs(items, backend=backend, seed=b"w")
+        return time.perf_counter() - t0
+
+    run("device")  # warm-up: compiles the device MSM once
+    dt_dev = run("device")
+    dt_host = run("host")
+    record("5c: batched 64-account shuffle verify (device MSM)",
+           batch / dt_dev, "proofs/s",
+           f"batch={batch}, {dt_dev*1e3:.0f} ms total; host MSM "
+           f"{batch/dt_host:.1f}/s")
+
+
+def config_scaling_efficiency(log_n=14):
+    """Sharded-MSM scaling efficiency across mesh sizes (BASELINE target:
+    >=0.85 at 2 hosts on batched shuffle-proof verification, whose device
+    cost IS the combined MSM).
+
+    On real multi-chip hardware the mesh axes ride ICI; in this environment
+    only a virtual CPU mesh is available (driver contract), so the numbers
+    are indicative of the sharding structure, not of ICI bandwidth.
+    """
+    import jax
+
+    if jax.default_backend() != "cpu" or len(jax.devices()) < 2:
+        return  # needs the virtual CPU mesh (tests/conftest contract)
+    import jax.numpy as jnp
+    from quisquis_tpu.ops import point as pt
+    from quisquis_tpu.parallel.mesh import make_mesh
+    from quisquis_tpu.parallel.sharded_msm import sharded_msm
+
+    n = 1 << log_n
+    rng = np.random.default_rng(9)
+    nib = jnp.asarray(rng.integers(0, 16, (n, 64), dtype=np.int32))
+    points = jax.jit(pt.base_mul_raw)(
+        jnp.asarray(rng.integers(0, 16, (n, 64), dtype=np.int32)))
+    times = {}
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            break
+        mesh = make_mesh(ndev)
+        out = sharded_msm(mesh, nib, points)          # compile + warm
+        np.asarray(out.x[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = sharded_msm(mesh, nib, points)
+            np.asarray(out.x[0])
+            best = min(best, time.perf_counter() - t0)
+        times[ndev] = best
+    for ndev, t in times.items():
+        if ndev == 1:
+            continue
+        eff = times[1] / (t * ndev)
+        record(f"s: sharded MSM 2^{log_n} scaling @{ndev} dev", round(eff, 3),
+               "efficiency", f"{times[1]*1e3:.0f} ms -> {t*1e3:.0f} ms "
+               "(virtual CPU mesh, indicative)")
+
+
 def main():
     import jax
     try:  # persistent compile cache: device kernels dominate cold wall-clock
@@ -234,6 +326,7 @@ def main():
     config4_range_proofs()
     config4c_batch_verify()
     config5_shuffle_64()
+    config5c_batch_shuffle_verify()
     with open("BENCHMARKS.md", "w") as f:
         f.write(f"# Benchmark results\n\ndevice: `{dev}`\n\n")
         f.write("| config | value | unit | detail |\n|---|---|---|---|\n")

@@ -97,12 +97,16 @@ def to_int(limbs) -> int:
 
 
 def from_int_batch(xs) -> np.ndarray:
-    out = np.empty((len(xs), NLIMBS), dtype=np.int32)
-    for j, x in enumerate(xs):
-        x %= P
-        for i in range(NLIMBS):
-            out[j, i] = (x >> (BITS * i)) & MASK
-    return out
+    # vectorized: ints -> little-endian bytes, then limb i = the BITS-bit
+    # field starting at bit BITS*i, extracted from its 3-byte window.
+    nbytes = (NLIMBS * BITS + 7) // 8 + 2  # +2: 3-byte window at the top limb
+    buf = b"".join((x % P).to_bytes(nbytes, "little") for x in xs)
+    b = np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), nbytes)
+    b = b.astype(np.int32)
+    off = BITS * np.arange(NLIMBS, dtype=np.int32)
+    q, r = off // 8, off % 8
+    window = b[:, q] | (b[:, q + 1] << 8) | (b[:, q + 2] << 16)
+    return ((window >> r) & MASK).astype(np.int32)
 
 
 def to_int_batch(limbs) -> list:

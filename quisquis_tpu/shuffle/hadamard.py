@@ -15,6 +15,7 @@ from ..ops import exact as ex
 from ..primitives.pedersen import VectorPedersenGens
 from ..accounts.prover import Prover
 from ..accounts.verifier import Verifier
+from ..accounts.deferred import assert_identity
 from . import polynomial, vectorutil
 
 L = ex.L
@@ -124,7 +125,7 @@ class HadamardProof:
     def verify(self, verifier: Verifier, xpc_gens: VectorPedersenGens,
                statement: HadamardStatement,
                commit_a: Sequence[bytes], commit_b: Sequence[bytes],
-               commit_c: Sequence[bytes]) -> None:
+               commit_c: Sequence[bytes], defer=None) -> None:
         m = len(commit_a)
         if len(set(statement.omega)) != m:
             raise ValueError("Hadamard Proof Verify: Omega values are not unique")
@@ -141,40 +142,40 @@ class HadamardProof:
             verifier.allocate_point(b"c_delta", cd)
         x = verifier.get_challenge(b"challenge")
 
-        commit_a_bar = xpc_gens.commit(self.a_bar, self.r_bar)
-        commit_b_bar = xpc_gens.commit(self.b_bar, self.s_bar)
-        commit_c_bar = xpc_gens.commit(self.c_bar, self.t_bar)
-
-        def recombine(c0_bytes, commits):
-            c0 = ex.ristretto_decode(c0_bytes)
-            if c0 is None:
-                raise ValueError("HadamardProof Verify: Decompression Failed")
-            acc = ex.pt_mul(l_x_vec[0].evaluate(x), c0)
-            for i, cb in enumerate(commits):
-                p = ex.ristretto_decode(cb)
-                if p is None:
-                    raise ValueError("HadamardProof Verify: Decompression Failed")
-                acc = ex.pt_add(acc, ex.pt_mul(l_x_vec[i + 1].evaluate(x), p))
-            return acc
-
-        if not (ex.pt_eq(recombine(self.commitment_a_0, commit_a), commit_a_bar)
-                and ex.pt_eq(recombine(self.commitment_b_0, commit_b), commit_b_bar)
-                and ex.pt_eq(recombine(self.commitment_c_0, commit_c), commit_c_bar)):
-            raise ValueError("Hadamard Proof Verify: A_bar , B_bar, C_bar check failed")
-
-        exp_x = vectorutil.exp_iter(x, m + 1)
-        cd0 = ex.ristretto_decode(self.commitment_delta[0])
-        if cd0 is None:
-            raise ValueError("HadamardProof Verify: Decompression Failed")
-        acc = cd0
-        for i in range(1, m + 1):
-            p = ex.ristretto_decode(self.commitment_delta[i])
+        # Each check below is expressed as one Σ s_i·P_i == identity MSM so
+        # it can either run eagerly or be folded into a cross-proof batch
+        # (accounts.deferred); vector-Pedersen commits on the RHS are
+        # expanded over the generator points instead of evaluated.
+        def _dec(b):
+            p = ex.ristretto_decode(b)
             if p is None:
                 raise ValueError("HadamardProof Verify: Decompression Failed")
-            acc = ex.pt_add(acc, ex.pt_mul(exp_x[i], p))
-        lhs = ex.pt_mul(l_x_vec[0].evaluate(x), acc)
+            return p
+
+        l_ev = [l.evaluate(x) for l in l_x_vec]
+        n = len(self.a_bar)
+        gen_pts = [xpc_gens.H] + xpc_gens.G_vec[:n]
+
+        def recombine_check(c0_bytes, commits, blind_bar, vals_bar, msg):
+            # l_0(x)·C_0 + Σ l_i(x)·C_i − com(vals_bar, blind_bar) == 0
+            scalars = l_ev[:1 + len(commits)]
+            points = [_dec(c0_bytes)] + [_dec(c) for c in commits]
+            scalars = scalars + [(-blind_bar) % L] + [(-v) % L for v in vals_bar]
+            assert_identity(defer, scalars, points + gen_pts, msg)
+
+        recombine_check(self.commitment_a_0, commit_a, self.r_bar, self.a_bar,
+                        "Hadamard Proof Verify: A_bar , B_bar, C_bar check failed")
+        recombine_check(self.commitment_b_0, commit_b, self.s_bar, self.b_bar,
+                        "Hadamard Proof Verify: A_bar , B_bar, C_bar check failed")
+        recombine_check(self.commitment_c_0, commit_c, self.t_bar, self.c_bar,
+                        "Hadamard Proof Verify: A_bar , B_bar, C_bar check failed")
+
+        exp_x = vectorutil.exp_iter(x, m + 1)
         ab = vectorutil.hadamard_product(self.a_bar, self.b_bar)
         abc = [(p - q) % L for p, q in zip(ab, self.c_bar)]
-        rhs = xpc_gens.commit(abc, self.rho_bar)
-        if not ex.pt_eq(lhs, rhs):
-            raise ValueError("Hadamard Proof Verify: Delta Commitment check failed")
+        # l_0(x)·Σ x^i·C_delta_i − com(a_bar∘b_bar − c_bar, rho_bar) == 0
+        scalars = ([l_ev[0] * xi % L for xi in exp_x]
+                   + [(-self.rho_bar) % L] + [(-v) % L for v in abc])
+        points = [_dec(c) for c in self.commitment_delta] + gen_pts
+        assert_identity(defer, scalars, points,
+                        "Hadamard Proof Verify: Delta Commitment check failed")

@@ -22,6 +22,7 @@ from ..primitives.pedersen import VectorPedersenGens, default_pedersen_gens
 from ..accounts.accounts import Account
 from ..accounts.prover import Prover
 from ..accounts.verifier import Verifier
+from ..accounts.deferred import assert_identity
 from . import vectorutil
 
 L = ex.L
@@ -189,51 +190,58 @@ class MultiexpoProof:
     # ------------------------------------------------------------------ verify
 
     def _verify_scalars(self, c_A: Sequence[bytes], x_exp: Sequence[int],
-                        xpc_gens: VectorPedersenGens, m: int) -> None:
+                        xpc_gens: VectorPedersenGens, m: int,
+                        defer=None) -> None:
         pc = default_pedersen_gens()
-        c_a = ex.pt_add(ex.pt_msm(x_exp[1:m + 1], [_dec(c) for c in c_A]),
-                        _dec(self.c_A_0))
-        if not ex.pt_eq(c_a, xpc_gens.commit(self.a_vec, self.r)):
-            raise ValueError(
-                "Multi-exponentiation Argument: a Scalar vector Verification Failed")
-        comit_b_s = pc.commit(self.b, self.s)
-        c_b_k_x_k = ex.pt_msm(x_exp, [_dec(c) for c in self.c_B_k])
-        if not ex.pt_eq(comit_b_s, c_b_k_x_k):
-            raise ValueError(
-                "Multi-exponentiation Argument: Scalar b Verification Failed")
+        n = len(self.a_vec)
+        neg = lambda v: (-v) % L  # noqa: E731
+        # C_A_0 + Σ x^i·C_A_i − com(a_vec, r) == 0
+        assert_identity(
+            defer,
+            [1] + list(x_exp[1:m + 1]) + [neg(self.r)]
+            + [neg(a) for a in self.a_vec],
+            [_dec(self.c_A_0)] + [_dec(c) for c in c_A]
+            + [xpc_gens.H] + xpc_gens.G_vec[:n],
+            "Multi-exponentiation Argument: a Scalar vector Verification Failed")
+        # com(b, s) − Σ x^k·C_B_k == 0
+        assert_identity(
+            defer,
+            [self.b, self.s] + [neg(xk) for xk in x_exp],
+            [pc.B, pc.B_blinding] + [_dec(c) for c in self.c_B_k],
+            "Multi-exponentiation Argument: Scalar b Verification Failed")
 
-    def _verify_ek(self, x_exp: Sequence[int], c: Sequence[ex.Point],
-                   d: Sequence[ex.Point], m: int, n: int):
-        E_c = ex.pt_msm(x_exp, [_dec(p) for p in self.E_k_0])
-        E_d = ex.pt_msm(x_exp, [_dec(p) for p in self.E_k_1])
-        c_rows = _rows(c, m, n)
-        d_rows = _rows(d, m, n)
-        scalars, pts_c, pts_d = [], [], []
+    def _ek_check_terms(self, x_exp: Sequence[int], pts: Sequence[ex.Point],
+                        e_k: Sequence[bytes], reenc: ex.Point, m: int, n: int):
+        """Terms of Σ x^k·E_k − Σ_i x^{m-1-i}·<a_vec, row_i> − reenc == 0."""
+        rows = _rows(pts, m, n)
+        scalars = list(x_exp)
+        points = [_dec(p) for p in e_k]
         for i in range(m):
-            xa = [ai * x_exp[m - 1 - i] % L for ai in self.a_vec]
-            scalars.extend(xa)
-            pts_c.extend(c_rows[i])
-            pts_d.extend(d_rows[i])
-        return E_c, E_d, ex.pt_msm(scalars, pts_c), ex.pt_msm(scalars, pts_d)
+            scalars.extend((-ai * x_exp[m - 1 - i]) % L for ai in self.a_vec)
+            points.extend(rows[i])
+        scalars.append(L - 1)
+        points.append(reenc)
+        return scalars, points
 
     def verify_multiexponential_elgamal_commit_proof(
         self, verifier: Verifier, c_A: Sequence[bytes],
         updated_accounts: Sequence[Account], accounts: Sequence[Account],
         xpc_gens: VectorPedersenGens, base_pk: RistrettoPublicKey,
-        exp_x: Sequence[int], m: int, n: int,
+        exp_x: Sequence[int], m: int, n: int, defer=None,
     ) -> None:
-        pc = default_pedersen_gens()
-        comit_0_0 = _enc(pc.commit(0, 0))
-        if not (len(self.a_vec) == n and comit_0_0 == self.c_B_k[m]):
+        if not (len(self.a_vec) == n
+                and self.c_B_k[m] == _enc(ex.IDENTITY)):
             raise ValueError(
                 "Multi-exponentiation Commitment Argument: Verify com(0,0) == c_B_m Failed")
         c_i = [acc.comm.c_point for acc in accounts]
         d_i = [acc.comm.d_point for acc in accounts]
-        C_c = ex.pt_msm(list(exp_x), c_i)
-        C_d = ex.pt_msm(list(exp_x), d_i)
-        if not (_enc(C_c) == self.E_k_0[m] and _enc(C_d) == self.E_k_1[m]):
-            raise ValueError(
-                "Multi-exponentiation Commitment Argument: Verify C == Em Failed")
+        # Σ x^i·C_i == E_m (the statement ciphertext aggregate)
+        assert_identity(defer, list(exp_x) + [L - 1],
+                        c_i + [_dec(self.E_k_0[m])],
+                        "Multi-exponentiation Commitment Argument: Verify C == Em Failed")
+        assert_identity(defer, list(exp_x) + [L - 1],
+                        d_i + [_dec(self.E_k_1[m])],
+                        "Multi-exponentiation Commitment Argument: Verify C == Em Failed")
         verifier.new_domain_sep(b"MultiExponentialElgamalCommmitmentProof")
         verifier.allocate_point(b"A0Commitment", self.c_A_0)
         for cbk, ek0, ek1 in zip(self.c_B_k, self.E_k_0, self.E_k_1):
@@ -242,26 +250,26 @@ class MultiexpoProof:
             verifier.allocate_point(b"EK1Commitment", ek1)
         x = verifier.get_challenge(b"xchallenege")
         x_exp = vectorutil.exp_iter(x, 2 * m)
-        self._verify_scalars(c_A, x_exp, xpc_gens, m)
+        self._verify_scalars(c_A, x_exp, xpc_gens, m, defer=defer)
         c = [acc.comm.c_point for acc in updated_accounts]
         d = [acc.comm.d_point for acc in updated_accounts]
         c_bb = reencrypt_commitment(base_pk, self.t, self.b)
-        E_c, E_d, c_c_x, c_d_x = self._verify_ek(x_exp, c, d, m, n)
-        rhs_c = ex.pt_add(c_c_x, c_bb.c_point)
-        rhs_d = ex.pt_add(c_d_x, c_bb.d_point)
-        if not (ex.pt_eq(E_c, rhs_c) and ex.pt_eq(E_d, rhs_d)):
-            raise ValueError(
-                "Multi-exponentiation Commitment Argument: E_K Verification Failed")
+        msg = "Multi-exponentiation Commitment Argument: E_K Verification Failed"
+        assert_identity(
+            defer, *self._ek_check_terms(x_exp, c, self.E_k_0,
+                                         c_bb.c_point, m, n), msg)
+        assert_identity(
+            defer, *self._ek_check_terms(x_exp, d, self.E_k_1,
+                                         c_bb.d_point, m, n), msg)
 
     def verify_multiexponential_pubkey_proof(
         self, verifier: Verifier, c_A: Sequence[bytes],
         updated_accounts: Sequence[Account],
         xpc_gens: VectorPedersenGens, base_pk: RistrettoPublicKey,
-        pk_GH: RistrettoPublicKey, m: int, n: int,
+        pk_GH: RistrettoPublicKey, m: int, n: int, defer=None,
     ) -> None:
-        pc = default_pedersen_gens()
-        comit_0_0 = _enc(pc.commit(0, 0))
-        if not (len(self.a_vec) == n and comit_0_0 == self.c_B_k[m]):
+        if not (len(self.a_vec) == n
+                and self.c_B_k[m] == _enc(ex.IDENTITY)):
             raise ValueError(
                 "Multi-exponentiation Pubkey Argument: Verify com(0,0) == c_B_m Failed")
         if not (pk_GH.gr == self.E_k_0[m] and pk_GH.grsk == self.E_k_1[m]):
@@ -275,13 +283,13 @@ class MultiexpoProof:
             verifier.allocate_point(b"EK1Commitment", ek1)
         x = verifier.get_challenge(b"xchallenege")
         x_exp = vectorutil.exp_iter(x, 2 * m)
-        self._verify_scalars(c_A, x_exp, xpc_gens, m)
+        self._verify_scalars(c_A, x_exp, xpc_gens, m, defer=defer)
         g = [acc.pk.gr_point for acc in updated_accounts]
         h = [acc.pk.grsk_point for acc in updated_accounts]
         g_bb = ex.pt_mul(self.b, base_pk.gr_point)
         h_bb = ex.pt_mul(self.b, base_pk.grsk_point)
-        E_g, E_h, c_g_x, c_h_x = self._verify_ek(x_exp, g, h, m, n)
-        if not (ex.pt_eq(E_g, ex.pt_add(c_g_x, g_bb))
-                and ex.pt_eq(E_h, ex.pt_add(c_h_x, h_bb))):
-            raise ValueError(
-                "Multi-exponentiation Pubkey Argument: E_K Verification Failed")
+        msg = "Multi-exponentiation Pubkey Argument: E_K Verification Failed"
+        assert_identity(
+            defer, *self._ek_check_terms(x_exp, g, self.E_k_0, g_bb, m, n), msg)
+        assert_identity(
+            defer, *self._ek_check_terms(x_exp, h, self.E_k_1, h_bb, m, n), msg)

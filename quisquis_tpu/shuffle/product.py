@@ -17,6 +17,7 @@ from ..ops import exact as ex
 from ..primitives.pedersen import VectorPedersenGens, default_pedersen_gens
 from ..accounts.prover import Prover
 from ..accounts.verifier import Verifier
+from ..accounts.deferred import assert_identity
 from .singlevalueproduct import SVPProof, SVPStatement
 from . import vectorutil
 
@@ -109,14 +110,14 @@ class ZeroProof:
 
     def verify(self, verifier: Verifier, c_A: Sequence[bytes],
                xpc_gens: VectorPedersenGens, c_B: Sequence[ex.Point],
-               chal_y: int) -> None:
+               chal_y: int, defer=None) -> None:
         pc = default_pedersen_gens()
         m = len(c_A)
         n = len(self.a_vec)
         if not (len(self.c_D) == 2 * m + 1 and len(self.b_vec) == n):
             raise ValueError("Zero Argument Proof Verify: Size check failed")
-        # c_D[m+1] must be com(0,0)
-        if not ex.pt_eq(_dec(self.c_D[m + 1]), pc.commit(0, 0)):
+        # c_D[m+1] must be com(0,0) == identity (byte compare, constant)
+        if self.c_D[m + 1] != ex.ristretto_encode(ex.IDENTITY):
             raise ValueError("Zero Argument Proof Verify: c_d_(m+1) == com(0,0) Failed")
         verifier.new_domain_sep(b"ZeroArgumentProof")
         verifier.allocate_point(b"A0Commitment", self.c_A_0)
@@ -126,26 +127,32 @@ class ZeroProof:
         x = verifier.get_challenge(b"challenge")
         x_exp = vectorutil.exp_iter(x, 2 * m + 1)
         x_m_1 = x_exp[1:m + 1]
+        gen_pts = [xpc_gens.H] + xpc_gens.G_vec[:n]
+        neg = lambda v: (-v) % L  # noqa: E731
 
-        commit_a_product = ex.pt_add(
-            _dec(self.c_A_0), ex.pt_msm(x_m_1, [_dec(c) for c in c_A]))
-        if not ex.pt_eq(xpc_gens.commit(self.a_vec, self.r), commit_a_product):
-            raise ValueError(
-                "Zero Argument Proof Verify: com(a_bar, r) verification check Failed")
+        # com(a_bar, r) − C_A_0 − Σ x^i·C_A_i == 0
+        assert_identity(
+            defer,
+            [self.r] + list(self.a_vec) + [neg(1)] + [neg(xi) for xi in x_m_1],
+            gen_pts + [_dec(self.c_A_0)] + [_dec(c) for c in c_A],
+            "Zero Argument Proof Verify: com(a_bar, r) verification check Failed")
 
-        commit_b_full = ex.pt_add(
-            ex.pt_msm(list(reversed(x_m_1)), list(c_B)), _dec(self.c_B_m))
-        if not ex.pt_eq(xpc_gens.commit(self.b_vec, self.s), commit_b_full):
-            raise ValueError(
-                "Zero Argument Proof Verify: com(b_bar, s) verification check Failed")
+        # com(b_bar, s) − Σ x^{m-i}·C_B_i − C_B_m == 0
+        assert_identity(
+            defer,
+            [self.s] + list(self.b_vec)
+            + [neg(xi) for xi in reversed(x_m_1)] + [neg(1)],
+            gen_pts + list(c_B) + [_dec(self.c_B_m)],
+            "Zero Argument Proof Verify: com(b_bar, s) verification check Failed")
 
         y_i = vectorutil.exp_iter(chal_y, n, skip=1)
         a_bar_b_bar = single_bilinearmap(self.a_vec, self.b_vec, y_i)
-        commit_ab = pc.commit(a_bar_b_bar, self.t)
-        c_D_x_k = ex.pt_msm(x_exp, [_dec(c) for c in self.c_D])
-        if not ex.pt_eq(commit_ab, c_D_x_k):
-            raise ValueError(
-                "Zero Argument Proof Verify: com(a_bar * b_bar, t) verification check Failed")
+        # com(a_bar·b_bar, t) − Σ x^k·C_D_k == 0 (plain Pedersen gens)
+        assert_identity(
+            defer,
+            [a_bar_b_bar, self.t] + [neg(xi) for xi in x_exp],
+            [pc.B, pc.B_blinding] + [_dec(c) for c in self.c_D],
+            "Zero Argument Proof Verify: com(a_bar * b_bar, t) verification check Failed")
 
 
 def bilinearmap(a_cols: Sequence[Sequence[int]], b_cols: Sequence[Sequence[int]],
@@ -235,7 +242,8 @@ class MultiHadamardProof:
                 MultiHadamardStatement(_enc(cb), zero_statement))
 
     def verify(self, verifier: Verifier, statement: MultiHadamardStatement,
-               c_A: Sequence[ex.Point], xpc_gens: VectorPedersenGens) -> None:
+               c_A: Sequence[ex.Point], xpc_gens: VectorPedersenGens,
+               defer=None) -> None:
         m = len(self.c_B)
         if not (_enc(c_A[0]) == self.c_B[0] and all(
                 _enc(c_A[i]) == statement.zero_statement.c_A[i - 1]
@@ -260,7 +268,8 @@ class MultiHadamardProof:
         c_zero_A = list(statement.zero_statement.c_A)
         if c_zero_A[m - 1] != c_minus_one:
             c_zero_A[m - 1] = c_minus_one
-        self.zero_proof.verify(verifier, c_zero_A, xpc_gens, commit_D_vec, y_chal)
+        self.zero_proof.verify(verifier, c_zero_A, xpc_gens, commit_D_vec,
+                               y_chal, defer=defer)
 
 
 @dataclass
@@ -306,7 +315,9 @@ class ProductProof:
 
     def verify(self, verifier: Verifier, prod_statement: ProductStatement,
                c_prod_A: Sequence[ex.Point],
-               xpc_gens: VectorPedersenGens) -> None:
+               xpc_gens: VectorPedersenGens, defer=None) -> None:
         self.multi_hadamard_proof.verify(
-            verifier, prod_statement.multi_hadamard_statement, c_prod_A, xpc_gens)
-        self.svp_proof.verify(verifier, prod_statement.svp_statement, xpc_gens)
+            verifier, prod_statement.multi_hadamard_statement, c_prod_A,
+            xpc_gens, defer=defer)
+        self.svp_proof.verify(verifier, prod_statement.svp_statement, xpc_gens,
+                              defer=defer)

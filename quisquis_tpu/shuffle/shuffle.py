@@ -263,7 +263,8 @@ class ShuffleProof:
     def verify(self, verifier: Verifier, statement: ShuffleStatement,
                shuffle_input: Sequence[Account],
                shuffle_output: Sequence[Account],
-               xpc_gens: Optional[VectorPedersenGens] = None) -> None:
+               xpc_gens: Optional[VectorPedersenGens] = None,
+               defer=None) -> None:
         n_total = len(shuffle_input)
         m, n_cols = _dims(n_total)
         if xpc_gens is None:
@@ -284,7 +285,8 @@ class ShuffleProof:
 
         self.hadamard_proof.verify(verifier, xpc_gens,
                                    statement.hadamard_statement,
-                                   self.c_B_dash, self.c_tau, self.c_B)
+                                   self.c_B_dash, self.c_tau, self.c_B,
+                                   defer=defer)
         y = verifier.get_challenge(b"yChallenge")
         z = verifier.get_challenge(b"zChallenge")
         product = 1
@@ -301,12 +303,12 @@ class ShuffleProof:
             if pa is None or pb is None:
                 raise ValueError("ShuffleProof Verify: Decompression Failed")
             c_F.append(ex.pt_add(ex.pt_mul(y, pa), pb))
-        # C_-z: commitments to (-z,...,-z) columns with zero blinding
-        z_neg_cols = [[(-z) % L] * m for _ in range(n_cols)]
-        comit_z_neg = [xpc_gens.commit(col, 0) for col in z_neg_cols[:m]]
-        c_E = [ex.pt_add(a, b) for a, b in zip(c_F, comit_z_neg)]
+        # C_-z: commitment to the (-z,...,-z) column with zero blinding —
+        # all m columns are identical, so commit once and reuse
+        comit_z_neg = xpc_gens.commit([(-z) % L] * m, 0)
+        c_E = [ex.pt_add(a, comit_z_neg) for a in c_F]
         self.product_proof.verify(verifier, statement.product_statement, c_E,
-                                  xpc_gens)
+                                  xpc_gens, defer=defer)
 
         pks = [acc.pk for acc in shuffle_input]
         g_i = [pk.gr_point for pk in pks]
@@ -318,10 +320,35 @@ class ShuffleProof:
                                         pk_GH.gr, pk_GH.grsk)
         self.multi_exponen_pk.verify_multiexponential_pubkey_proof(
             verifier, self.c_B_dash, list(shuffle_output), xpc_gens, base_pk,
-            pk_GH, m, n_cols)
+            pk_GH, m, n_cols, defer=defer)
         self.multi_exponen_commit.verify_multiexponential_elgamal_commit_proof(
             verifier, self.c_B, list(shuffle_output), list(shuffle_input),
-            xpc_gens, pk_GH, exp_x, m, n_cols)
+            xpc_gens, pk_GH, exp_x, m, n_cols, defer=defer)
+
+
+def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
+                                mesh=None, seed=None) -> None:
+    """Verify many shuffle proofs with ONE combined MSM (the TPU batch path).
+
+    `entries`: iterable of (proof, verifier, statement, inputs, outputs).
+    Every point-identity check from every proof is scaled by a fresh random
+    weight and merged into a single multiscalar multiplication
+    (accounts.deferred.DeferredPointChecks) evaluated once on the chosen
+    backend: "host" native Pippenger, "device" Pallas MSM pipeline, or
+    "sharded" with the point axis split over a `jax.sharding.Mesh`.
+    Per-proof transcript challenge derivation stays on the host (sequential
+    Keccak, cheap); the heavy verifier recombinations ride one MSM.
+
+    The eager equivalent loops `proof.verify(...)` per proof
+    (reference behavior, /root/reference/src/shuffle/shuffle.rs:547-712).
+    """
+    from ..accounts.deferred import DeferredPointChecks
+
+    defer = DeferredPointChecks(seed)
+    for proof, verifier, statement, inputs, outputs in entries:
+        proof.verify(verifier, statement, inputs, outputs, xpc_gens,
+                     defer=defer)
+    defer.verify(backend=backend, mesh=mesh)
 
 
 # observability (SURVEY §5: the reference has none; we time every proof)
@@ -330,3 +357,5 @@ from ..utils.metrics import instrument as _instrument  # noqa: E402
 ShuffleProof.create_shuffle_proof = staticmethod(
     _instrument("shuffle.prove")(ShuffleProof.create_shuffle_proof))
 ShuffleProof.verify = _instrument("shuffle.verify")(ShuffleProof.verify)
+batch_verify_shuffle_proofs = _instrument("shuffle.batch_verify")(
+    batch_verify_shuffle_proofs)

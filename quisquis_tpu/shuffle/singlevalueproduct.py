@@ -15,6 +15,7 @@ from ..ops import exact as ex
 from ..primitives.pedersen import VectorPedersenGens, vector_pedersen_gens
 from ..accounts.prover import Prover
 from ..accounts.verifier import Verifier
+from ..accounts.deferred import assert_identity
 
 L = ex.L
 
@@ -89,7 +90,7 @@ class SVPProof:
                         a_bar, b_bar, r_bar, s_bar)
 
     def verify(self, verifier: Verifier, svparg: SVPStatement,
-               xpc_gens: VectorPedersenGens) -> None:
+               xpc_gens: VectorPedersenGens, defer=None) -> None:
         n = len(self.a_twildle)
         if len(self.b_twildle) != n:
             raise ValueError("SingleValue Product Proof Verify: Size check failed")
@@ -102,16 +103,23 @@ class SVPProof:
         x = verifier.get_challenge(b"challenge")
         if svparg.b * x % L != self.b_twildle[n - 1]:
             raise ValueError("SingleValue Product Proof Verify: Failed")
-        comit_a_bar = xpc_gens.commit(self.a_twildle, self.r_twildle)
-        caxcd = ex.pt_add(ex.pt_mul(x, _dec(svparg.commitment_a)),
-                          _dec(self.commitment_d))
-        if not ex.pt_eq(caxcd, comit_a_bar):
-            raise ValueError("SingleValue Product Proof Verify: Failed")
-        lhs = ex.pt_add(ex.pt_mul(x, _dec(self.commitment_delta_capital)),
-                        _dec(self.commitment_delta_small))
+        neg = lambda v: (-v) % L  # noqa: E731
+        # x·C_a + C_d − com(a_bar, r_bar) == 0
+        assert_identity(
+            defer,
+            [x, 1, neg(self.r_twildle)] + [neg(v) for v in self.a_twildle],
+            [_dec(svparg.commitment_a), _dec(self.commitment_d), xpc_gens.H]
+            + xpc_gens.G_vec[:n],
+            "SingleValue Product Proof Verify: Failed")
         comvec = [(self.b_twildle[i + 1] * x
                    - self.b_twildle[i] * self.a_twildle[i + 1]) % L
                   for i in range(n - 1)]
         xpc_trun = vector_pedersen_gens(len(comvec) + 1)
-        if not ex.pt_eq(lhs, xpc_trun.commit(comvec, self.s_twildle)):
-            raise ValueError("SingleValue Product Proof Verify: Failed")
+        # x·C_Δ + C_δ − com_trunc(comvec, s_bar) == 0
+        assert_identity(
+            defer,
+            [x, 1, neg(self.s_twildle)] + [neg(v) for v in comvec],
+            [_dec(self.commitment_delta_capital),
+             _dec(self.commitment_delta_small), xpc_trun.H]
+            + xpc_trun.G_vec[:len(comvec)],
+            "SingleValue Product Proof Verify: Failed")

@@ -71,17 +71,32 @@ def init_constants(ex) -> bool:
 
 # point wire form: 4 x 32B LE (x, y, z, t)
 
+class _WirePoint(tuple):
+    """Point tuple that remembers its native 128-byte wire form.
+
+    Behaves exactly like the plain 4-tuple `ex.Point`; the cached `wire`
+    attribute lets points that flow native->native (decode -> MSM, add ->
+    MSM, ...) skip the int<->bytes marshal, which dominates wall-clock on
+    slow hosts for large batched verifications. (tuple subtypes cannot
+    declare nonempty __slots__, so instances carry a small __dict__.)"""
+
+
 def _pt_to_bytes(p: tuple) -> bytes:
+    w = getattr(p, "wire", None)
+    if w is not None:
+        return w
     x, y, z, t = p
     return (x.to_bytes(32, "little") + y.to_bytes(32, "little") +
             z.to_bytes(32, "little") + t.to_bytes(32, "little"))
 
 
 def _pt_from_bytes(b: bytes) -> tuple:
-    return (int.from_bytes(b[0:32], "little"),
-            int.from_bytes(b[32:64], "little"),
-            int.from_bytes(b[64:96], "little"),
-            int.from_bytes(b[96:128], "little"))
+    p = _WirePoint((int.from_bytes(b[0:32], "little"),
+                    int.from_bytes(b[32:64], "little"),
+                    int.from_bytes(b[64:96], "little"),
+                    int.from_bytes(b[96:128], "little")))
+    p.wire = bytes(b)
+    return p
 
 
 def pt_add(p: tuple, q: tuple) -> tuple:

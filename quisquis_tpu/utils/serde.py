@@ -61,31 +61,47 @@ class Reader:
         self.data = data
         self.off = 0
 
+    def _need(self, n: int) -> None:
+        if len(self.data) - self.off < n:
+            raise ValueError("truncated proof bytes")
+
     def u8(self) -> int:
+        self._need(1)
         v = self.data[self.off]
         self.off += 1
         return v
 
     def u32(self) -> int:
+        self._need(4)
         v = struct.unpack_from("<I", self.data, self.off)[0]
         self.off += 4
         return v
 
     def scalar(self) -> int:
+        self._need(32)
         v = ex.sc_from_bytes_mod_order(self.data[self.off:self.off + 32])
         self.off += 32
         return v
 
     def point(self) -> bytes:
+        self._need(32)
         v = self.data[self.off:self.off + 32]
         self.off += 32
         return v
 
+    def _count(self) -> int:
+        # bound the declared count by the remaining bytes BEFORE looping:
+        # a hostile u32 (e.g. 0xffffffff) must raise, not spin
+        n = self.u32()
+        if n > (len(self.data) - self.off) // 32:
+            raise ValueError("declared count exceeds remaining proof bytes")
+        return n
+
     def scalars(self) -> List[int]:
-        return [self.scalar() for _ in range(self.u32())]
+        return [self.scalar() for _ in range(self._count())]
 
     def points(self) -> List[bytes]:
-        return [self.point() for _ in range(self.u32())]
+        return [self.point() for _ in range(self._count())]
 
     def done(self) -> bool:
         return self.off == len(self.data)

@@ -1,0 +1,108 @@
+"""Cross-proof batched verification via deferred point checks.
+
+The TPU batch path: every point-identity check from a batch of proofs is
+random-weighted into ONE MSM (accounts.deferred). These tests pin that the
+deferred path accepts exactly what the eager path accepts (valid proofs)
+and rejects tampered ones, on the host, device, and sharded backends.
+"""
+
+import pytest
+
+from quisquis_tpu.ops import exact as ex
+from quisquis_tpu.primitives.keys import RistrettoPublicKey, RistrettoSecretKey
+from quisquis_tpu.accounts.accounts import Account
+from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+from quisquis_tpu.accounts.prover import Prover
+from quisquis_tpu.accounts.verifier import Verifier
+from quisquis_tpu.accounts.deferred import DeferredPointChecks, assert_identity
+from quisquis_tpu.shuffle.shuffle import (Shuffle, ShuffleProof,
+                                          batch_verify_shuffle_proofs)
+
+L = ex.L
+
+
+def make_accounts(r, n=9):
+    out = []
+    for _ in range(n):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        out.append(acc)
+    return out
+
+
+def make_proofs(count=3, n=9, tag=b"batchverify"):
+    r = SeededRng(seed=tag)
+    entries = []
+    for i in range(count):
+        accounts = make_accounts(r, n)
+        sh = Shuffle.input_shuffle(accounts, rng=r)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=r)
+        proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+        verifier = Verifier(b"Shuffle", Transcript(b"ShuffleProof"))
+        entries.append((proof, verifier, statement, sh.get_inputs_vector(),
+                        sh.get_outputs_vector()))
+    return entries
+
+
+def test_deferred_accumulator_basics():
+    d = DeferredPointChecks(seed=b"t")
+    G = ex.BASEPOINT
+    P = ex.pt_mul(7, G)
+    d.check_eq([7], [G], P, "7G == P")
+    d.check([3, (-3) % L], [G, G], "3G - 3G == 0")
+    d.verify(backend="host")
+
+    bad = DeferredPointChecks(seed=b"t")
+    bad.check_eq([8], [G], P, "8G == P must fail")
+    with pytest.raises(ValueError, match="8G == P must fail"):
+        bad.verify(backend="host")
+
+
+def test_assert_identity_eager_path():
+    G = ex.BASEPOINT
+    assert_identity(None, [5, (-5) % L], [G, G], "ok")
+    with pytest.raises(ValueError, match="boom"):
+        assert_identity(None, [5, (-4) % L], [G, G], "boom")
+
+
+def test_batch_verify_host_accepts():
+    batch_verify_shuffle_proofs(make_proofs(3), backend="host",
+                                seed=b"weights")
+
+
+def test_batch_verify_rejects_tampered():
+    entries = make_proofs(3, tag=b"tamper")
+    proof, verifier, statement, inputs, outputs = entries[1]
+    outputs = list(outputs)
+    outputs[0], outputs[1] = outputs[1], outputs[0]
+    entries[1] = (proof, verifier, statement, inputs, outputs)
+    with pytest.raises(ValueError):
+        batch_verify_shuffle_proofs(entries, backend="host", seed=b"weights")
+
+
+def test_deferred_single_matches_eager():
+    """One proof, deferred vs eager: both accept; tampering breaks both."""
+    entries = make_proofs(1, tag=b"single")
+    proof, verifier, statement, inputs, outputs = entries[0]
+    defer = DeferredPointChecks(seed=b"w")
+    proof.verify(verifier, statement, inputs, outputs, defer=defer)
+    assert defer.num_terms > 0
+    defer.verify(backend="host")
+    # eager re-verify with a fresh transcript still passes
+    proof.verify(Verifier(b"Shuffle", Transcript(b"ShuffleProof")),
+                 statement, inputs, outputs)
+
+
+def test_batch_verify_device_backend():
+    batch_verify_shuffle_proofs(make_proofs(2, tag=b"dev"), backend="device",
+                                seed=b"weights")
+
+
+def test_batch_verify_sharded_backend():
+    from quisquis_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    batch_verify_shuffle_proofs(make_proofs(2, tag=b"shard"),
+                                backend="sharded", mesh=mesh,
+                                seed=b"weights")
