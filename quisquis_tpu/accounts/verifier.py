@@ -186,22 +186,34 @@ class Verifier:
             raise ValueError("sender account verification failed")
 
     def verify_non_negative_sender_receiver_bulletproof_batch_verifier(
-        self, epsilon_account: Sequence[Account], proof,
+        self, epsilon_account: Sequence[Account], proof, defer=None,
     ) -> None:
         """Aggregated 64-bit range-proof verification over the epsilon
-        accounts' `d` points (verifier.rs:504-523)."""
+        accounts' `d` points (verifier.rs:504-523). With `defer`, the MSM
+        terms join the cross-proof batch (transcript work still happens
+        here, in sequence)."""
         self.new_domain_sep(b"AggregateBulletProof")
         commitments = [acc.comm.d for acc in epsilon_account]
-        proof.verify_multiple(self.transcript, commitments, 64)
+        if defer is None:
+            proof.verify_multiple(self.transcript, commitments, 64)
+        else:
+            type(proof).batch_verify([(proof, commitments, self.transcript)],
+                                     64, defer=defer)
 
     def verify_non_negative_sender_receiver_bulletproof_vector_verifier(
         self, epsilon_account: Sequence[Account], proof_vector: Sequence,
+        defer=None,
     ) -> None:
         """Per-value range-proof verification (verifier.rs:534-555)."""
         self.new_domain_sep(b"AggregateBulletProof")
         commitments = [acc.comm.d for acc in epsilon_account]
-        for proof, com in zip(proof_vector, commitments):
-            proof.verify_single(self.transcript, com, 64)
+        if defer is None:
+            for proof, com in zip(proof_vector, commitments):
+                proof.verify_single(self.transcript, com, 64)
+        else:
+            for proof, com in zip(proof_vector, commitments):
+                type(proof).batch_verify([(proof, [com], self.transcript)],
+                                         64, defer=defer)
 
     @staticmethod
     def verify_delta_identity_check(epsilon_accounts: Sequence[Account]) -> None:

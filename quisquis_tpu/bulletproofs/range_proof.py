@@ -234,7 +234,8 @@ class RangeProof:
     @staticmethod
     def batch_verify(instances: Sequence[Tuple["RangeProof", Sequence[bytes],
                                                Transcript]],
-                     n: int, rng: Optional[SeededRng] = None) -> None:
+                     n: int, rng: Optional[SeededRng] = None,
+                     defer=None) -> None:
         """Batch verification across many independent proofs (the crate's
         `yoloproofs` behavior): every proof's two checks are folded, with
         per-equation random weights, into ONE multiscalar multiplication
@@ -244,20 +245,24 @@ class RangeProof:
         transcript must be in the same state the corresponding single
         verification would start from. Raises ValueError if the combined
         check fails (at least one proof in the batch is invalid).
+
+        With `defer` (accounts.deferred.DeferredPointChecks), the combined
+        terms join an even larger cross-protocol batch (e.g. all range AND
+        shuffle checks of a transaction batch in one device MSM) instead of
+        being evaluated here; per-equation weights then come from the
+        accumulator.
         """
-        if rng is None:
-            rng = SeededRng()
+        from ..accounts.deferred import DeferredPointChecks
+
+        own = defer is None
+        if own:
+            seed = None if rng is None else ex.sc_to_bytes(rng.random_scalar())
+            defer = DeferredPointChecks(seed)
         pc = default_pedersen_gens()
         max_m = max(len(V) for _, V, _ in instances)
         bp = bulletproof_gens(n, max_m)
         G = bp.G(n, max_m)
         H = bp.H(n, max_m)
-        g_acc = [0] * (n * max_m)
-        h_acc = [0] * (n * max_m)
-        B_acc = 0
-        Bb_acc = 0
-        dyn_scalars: List[int] = []
-        dyn_points: List[ex.Point] = []
 
         for proof, value_commitments, transcript in instances:
             m = len(value_commitments)
@@ -294,21 +299,18 @@ class RangeProof:
                 raise ValueError("Bulletproof batch verification failed: "
                                  "bad point")
 
-            r1 = rng.random_scalar()
-            r2 = rng.random_scalar()
             z2 = z * z % L
-            # check 1 (weighted r1):
+            # check 1:
             #   t_x B + t_x_blinding B~ - sum z^2 z^j V_j - delta B
             #   - x T1 - x^2 T2 == 0
-            B_acc = (B_acc + r1 * (proof.t_x - _delta(n, m, y, z))) % L
-            Bb_acc = (Bb_acc + r1 * proof.t_x_blinding) % L
-            for j, vp in enumerate(V_pts):
-                dyn_scalars.append((-r1) * z2 % L * pow(z, j, L) % L)
-                dyn_points.append(vp)
-            dyn_scalars.extend([(-r1) * x % L, (-r1) * x % L * x % L])
-            dyn_points.extend([T1_pt, T2_pt])
+            defer.check(
+                [(proof.t_x - _delta(n, m, y, z)) % L, proof.t_x_blinding]
+                + [(-z2) * pow(z, j, L) % L for j in range(m)]
+                + [(-x) % L, (-x) * x % L],
+                [pc.B, pc.B_blinding] + V_pts + [T1_pt, T2_pt],
+                "Bulletproof batch verification failed")
 
-            # check 2 + IPP (weighted r2):
+            # check 2 + IPP:
             #   A + x S - e_b B~ + w(t_x - a b) B + sum(-z - a s_i) G_i
             #   + sum(h_i - b s_inv_i Hf_i) H_i + sum(u^2 L + u^-2 R) == 0
             a, b = proof.ipp_proof.a, proof.ipp_proof.b
@@ -320,24 +322,22 @@ class RangeProof:
             h_scalars = [(z * y_nm[i] + zeta[i]) % L * H_factors[i] % L
                          for i in range(nm)]
             s_inv = s[::-1]
-            dyn_scalars.extend([r2, r2 * x % L])
-            dyn_points.extend([A_pt, S_pt])
-            Bb_acc = (Bb_acc - r2 * proof.e_blinding) % L
-            B_acc = (B_acc + r2 * w % L * (proof.t_x - a * b)) % L
-            for i in range(nm):
-                g_acc[i] = (g_acc[i] + r2 * (-z - a * s[i])) % L
-                h_acc[i] = (h_acc[i] + r2 * (h_scalars[i]
-                                             - b * s_inv[i] % L
-                                             * H_factors[i])) % L
+            scalars = [w * (proof.t_x - a * b) % L,
+                       (-proof.e_blinding) % L, 1, x]
+            points = [pc.B, pc.B_blinding, A_pt, S_pt]
+            scalars.extend((-z - a * s[i]) % L for i in range(nm))
+            points.extend(G[:nm])
+            scalars.extend((h_scalars[i] - b * s_inv[i] % L * H_factors[i]) % L
+                           for i in range(nm))
+            points.extend(H[:nm])
             for k in range(len(L_pts)):
-                dyn_scalars.extend([r2 * u_sq[k] % L, r2 * u_inv_sq[k] % L])
-                dyn_points.extend([L_pts[k], R_pts[k]])
+                scalars.extend([u_sq[k], u_inv_sq[k]])
+                points.extend([L_pts[k], R_pts[k]])
+            defer.check(scalars, points,
+                        "Bulletproof batch verification failed")
 
-        total = ex.pt_msm(
-            [B_acc, Bb_acc] + g_acc + h_acc + dyn_scalars,
-            [pc.B, pc.B_blinding] + G + H + dyn_points)
-        if ex.ristretto_encode(total) != b"\x00" * 32:
-            raise ValueError("Bulletproof batch verification failed")
+        if own:
+            defer.verify(backend="auto")
 
     # ------------------------------------------------------------------ serde
 

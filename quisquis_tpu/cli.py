@@ -58,7 +58,8 @@ def tx_demo() -> None:
     proofs over a 9-account anonymity set (transaction.rs:487-749 flow)."""
     import time
     from .transaction.transaction import (Sender, Receiver, create_transaction,
-                                          generate_value_and_account_vector)
+                                          generate_value_and_account_vector,
+                                          verify_transaction)
 
     rng = SeededRng(seed=b"cli-tx-demo")
     print("== quisquis_tpu full-transaction demo ==")
@@ -76,7 +77,7 @@ def tx_demo() -> None:
     print(f"anonymity set              : {len(accounts)} accounts "
           f"(sender 1, receiver 1, anonymity {diff})")
     t0 = time.perf_counter()
-    tx, range_proofs, in_proof, in_stmt, out_proof, out_stmt = \
+    tx, tx_proof = \
         create_transaction(
             values, accounts, sender_updated_balance=[10 - 5],
             sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
@@ -84,7 +85,12 @@ def tx_demo() -> None:
             senders_count=sc, receivers_count=rc, rng=rng)
     dt = time.perf_counter() - t0
     print(f"transaction built+verified : OK ({dt*1e3:.0f} ms; "
-          f"{len(range_proofs)} range proof(s), 2 shuffle proofs)")
+          f"{len(tx_proof.range_proofs)} range proof(s), 2 shuffle proofs)")
+    t0 = time.perf_counter()
+    verify_transaction(tx, tx_proof, backend="host")
+    dt = time.perf_counter() - t0
+    print(f"standalone verification    : OK ({dt*1e3:.0f} ms, "
+          "one combined MSM)")
     tx.account_updated_delta_vector[0].verify_account(sk, 5)
     print("sender delta balance (5)   : OK")
     total = ex.IDENTITY

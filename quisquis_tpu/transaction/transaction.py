@@ -67,6 +67,35 @@ class Transaction:
         return [-balance, balance] + [0] * (n - 2)
 
 
+@dataclass
+class TransactionProof:
+    """Everything a third party needs to verify a Transaction standalone.
+
+    The reference's (dead) transaction module proves and immediately
+    self-verifies inside creation (transaction.rs:487-749) and never
+    returns the sigma responses; here the bundle is first-class so
+    transactions can be verified — and *batch*-verified — by parties that
+    did not build them (the serving path).
+    """
+    delta_dleq: Tuple[List[int], List[int], List[int], int]
+    update_dlog: Tuple[List[int], int]
+    zero_dlog: Tuple[List[int], int]
+    sender_dleq: Tuple[List[int], List[int], List[int], int]
+    epsilon_sender_accounts: List[Account]
+    # the on-the-fly anonymity accounts in prover order (tx.input_account_
+    # vector holds them permuted; the zero-balance DLOG is bound to this
+    # order via the transcript)
+    anonymity_accounts: List[Account]
+    range_proofs: list
+    input_shuffle_proof: ShuffleProof
+    input_shuffle_statement: ShuffleStatement
+    output_shuffle_proof: ShuffleProof
+    output_shuffle_statement: ShuffleStatement
+    senders_count: int
+    receivers_count: int
+    anonymity_account_diff: int
+
+
 def generate_value_and_account_vector(
     tx_vector: Sequence[Sender], rng: Optional[SeededRng] = None, n: int = 9,
 ) -> Tuple[List[int], List[Account], List[int], int, int, int]:
@@ -223,9 +252,11 @@ def create_transaction(
     senders_count: int,
     receivers_count: int,
     rng: Optional[SeededRng] = None,
-) -> Tuple[Transaction, list, ShuffleProof, ShuffleStatement,
-           ShuffleProof, ShuffleStatement]:
-    """The bulletproof transaction path (create_quuisquis_transaction_bulletproof)."""
+) -> Tuple[Transaction, TransactionProof]:
+    """The bulletproof transaction path (create_quuisquis_transaction_bulletproof).
+
+    Returns the assembled Transaction plus the TransactionProof bundle for
+    standalone / batched verification (verify_transaction below)."""
     if rng is None:
         rng = SeededRng()
     n = len(account_vector)
@@ -326,8 +357,123 @@ def create_transaction(
     tx = Transaction(
         input_shuffle.get_inputs_vector(), updated_accounts, delta_accounts,
         epsilon_accounts, updated_delta_accounts, output_accounts)
-    return (tx, range_proofs, input_shuffle_proof, input_shuffle_statement,
-            output_shuffle_proof, output_shuffle_statement)
+    tx_proof = TransactionProof(
+        delta_dleq=(zv, zr1, zr2, x),
+        update_dlog=(z_vec, x_dlog),
+        zero_dlog=(z_zero, x_zero),
+        sender_dleq=(zv_a, zsk_a, zr_a, x_a),
+        epsilon_sender_accounts=list(eps_sender_accounts),
+        anonymity_accounts=list(account_vector[anonymity_index:n]),
+        range_proofs=range_proofs,
+        input_shuffle_proof=input_shuffle_proof,
+        input_shuffle_statement=input_shuffle_statement,
+        output_shuffle_proof=output_shuffle_proof,
+        output_shuffle_statement=output_shuffle_statement,
+        senders_count=senders_count,
+        receivers_count=receivers_count,
+        anonymity_account_diff=anonymity_account_diff)
+    return tx, tx_proof
+
+
+def verify_transaction(tx: Transaction, proof: TransactionProof,
+                       defer=None, backend: str = "auto", mesh=None) -> None:
+    """Standalone verification of a Transaction (no prover secrets).
+
+    Replays the exact verifier-transcript sequence of create_transaction:
+    input-shuffle proof, epsilon identity, delta-compact DLEQ, the
+    homomorphic delta-update consistency, update-account DLOG over the
+    anonymity slice, zero-balance DLOG over the on-the-fly accounts, the
+    sender-account DLEQ, the aggregated range proofs, and the
+    output-shuffle proof. Raises ValueError on any failure.
+
+    Sigma checks recompute first messages into the transcript (eager,
+    2-3-term MSMs); shuffle and range point-identities are collected into
+    `defer` (or a local accumulator) and evaluated as ONE MSM on `backend`.
+    """
+    from ..accounts.deferred import DeferredPointChecks
+
+    own = defer is None
+    if own:
+        defer = DeferredPointChecks()
+    n = len(tx.input_account_vector)
+    sc, rc = proof.senders_count, proof.receivers_count
+    anonymity_index = n - proof.anonymity_account_diff
+
+    tv = Transcript(b"QuisQuisProof")
+    qq_verifier = Verifier(b"QuisQuis", tv)
+
+    proof.input_shuffle_proof.verify(
+        qq_verifier, proof.input_shuffle_statement,
+        tx.input_account_vector, tx.updated_account_vector, defer=defer)
+
+    Verifier.verify_delta_identity_check(tx.account_epsilon_vector)
+    zv, zr1, zr2, x = proof.delta_dleq
+    Verifier.verify_delta_compact_verifier(
+        tx.account_delta_vector, tx.account_epsilon_vector, zv, zr1, zr2, x,
+        qq_verifier)
+
+    # delta-update consistency: updated_delta == updated + delta
+    # (homomorphic add; accounts.rs:225-291 semantics)
+    if not Account.verify_delta_update(tx.account_updated_delta_vector,
+                                       tx.account_delta_vector,
+                                       tx.updated_account_vector):
+        raise ValueError("Transaction Verify: delta update mismatch")
+
+    z_vec, x_dlog = proof.update_dlog
+    Verifier.verify_update_account_verifier(
+        tx.updated_account_vector[anonymity_index:n],
+        tx.account_updated_delta_vector[anonymity_index:n], z_vec, x_dlog,
+        qq_verifier)
+
+    # the zero-balance statement is over the pre-shuffle anonymity accounts;
+    # check each is genuinely a member of the transaction's input set
+    input_set = {(a.pk.gr, a.pk.grsk, a.comm.c, a.comm.d)
+                 for a in tx.input_account_vector}
+    for a in proof.anonymity_accounts:
+        if (a.pk.gr, a.pk.grsk, a.comm.c, a.comm.d) not in input_set:
+            raise ValueError(
+                "Transaction Verify: anonymity account not in input set")
+    z_zero, x_zero = proof.zero_dlog
+    Verifier.zero_balance_account_vector_verifier(
+        proof.anonymity_accounts, z_zero, x_zero, qq_verifier)
+
+    zv_a, zsk_a, zr_a, x_a = proof.sender_dleq
+    Verifier.verify_account_verifier_bulletproof(
+        tx.account_updated_delta_vector[:sc], proof.epsilon_sender_accounts,
+        RistrettoPublicKey.generate_base_pk(), zv_a, zsk_a, zr_a, x_a,
+        qq_verifier)
+
+    bp_epsilon_vec = (list(proof.epsilon_sender_accounts)
+                      + tx.account_epsilon_vector[sc:sc + rc])
+    if len(proof.range_proofs) == 1:
+        qq_verifier.verify_non_negative_sender_receiver_bulletproof_batch_verifier(
+            bp_epsilon_vec, proof.range_proofs[0], defer=defer)
+    else:
+        qq_verifier.verify_non_negative_sender_receiver_bulletproof_vector_verifier(
+            bp_epsilon_vec, proof.range_proofs, defer=defer)
+
+    proof.output_shuffle_proof.verify(
+        qq_verifier, proof.output_shuffle_statement,
+        tx.account_updated_delta_vector, tx.output_account_vector,
+        defer=defer)
+
+    if own:
+        defer.verify(backend=backend, mesh=mesh)
+
+
+def batch_verify_transactions(items: Sequence[Tuple[Transaction,
+                                                    TransactionProof]],
+                              backend: str = "auto", mesh=None,
+                              seed: Optional[bytes] = None) -> None:
+    """Verify many transactions with ONE combined MSM across every shuffle
+    and range-proof check of every transaction (sigma transcripts replay
+    per transaction on the host)."""
+    from ..accounts.deferred import DeferredPointChecks
+
+    defer = DeferredPointChecks(seed)
+    for tx, proof in items:
+        verify_transaction(tx, proof, defer=defer)
+    defer.verify(backend=backend, mesh=mesh)
 
 
 # observability
@@ -336,3 +482,6 @@ from ..utils.metrics import instrument as _instrument  # noqa: E402
 create_transaction = _instrument("transaction.create")(create_transaction)
 create_transaction_r1cs = _instrument("transaction.create_r1cs")(
     create_transaction_r1cs)
+verify_transaction = _instrument("transaction.verify")(verify_transaction)
+batch_verify_transactions = _instrument("transaction.batch_verify")(
+    batch_verify_transactions)

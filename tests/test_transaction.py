@@ -13,7 +13,8 @@ from quisquis_tpu.accounts.accounts import Account
 from quisquis_tpu.accounts.transcript import SeededRng
 from quisquis_tpu.transaction.transaction import (
     Sender, Receiver, Transaction, create_transaction,
-    generate_value_and_account_vector)
+    generate_value_and_account_vector, verify_transaction,
+    batch_verify_transactions)
 from quisquis_tpu.utils.address import Address, Network, AddressType
 
 
@@ -54,14 +55,24 @@ def test_full_transaction_roundtrip():
     values, accounts, anon_scalars, diff, sc, rc = \
         generate_value_and_account_vector([sender], rng=r)
 
-    tx, range_proofs, in_proof, in_stmt, out_proof, out_stmt = \
+    tx, tx_proof = \
         create_transaction(
             values, accounts, sender_updated_balance=[10 - 5],
             sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
             anonymity_account_diff=diff, receiver_updated_balance=[5],
             senders_count=sc, receivers_count=rc, rng=r)
     assert len(tx.output_account_vector) == 9
-    assert len(range_proofs) >= 1
+    assert len(tx_proof.range_proofs) >= 1
+    # standalone third-party verification
+    verify_transaction(tx, tx_proof, backend="host")
+    # tampered output account must be rejected
+    bad = Transaction(
+        tx.input_account_vector, tx.updated_account_vector,
+        tx.account_delta_vector, tx.account_epsilon_vector,
+        tx.account_updated_delta_vector,
+        list(reversed(tx.output_account_vector)))
+    with pytest.raises(ValueError):
+        verify_transaction(bad, tx_proof, backend="host")
     # conservation: sum of epsilon d-commitments is identity
     total = ex.IDENTITY
     for e in tx.account_epsilon_vector:
@@ -69,6 +80,43 @@ def test_full_transaction_roundtrip():
     assert ex.ristretto_encode(total) == b"\x00" * 32
     # the sender can still decrypt their updated delta balance
     tx.account_updated_delta_vector[0].verify_account(sk, 5)
+
+
+def test_batch_verify_transactions():
+    """Many transactions verified with one combined MSM."""
+    r = rng(b"batchtx")
+
+    def make_tx(i):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        acc = Account.update_account(acc, 10 + i, r.random_scalar(),
+                                     r.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(r), r)
+        sender = Sender(total_amount=-5, account=acc,
+                        receivers=[Receiver(5, rec_pk)])
+        values, accounts, anon_scalars, diff, sc, rc = \
+            generate_value_and_account_vector([sender], rng=r)
+        return create_transaction(
+            values, accounts, sender_updated_balance=[10 + i - 5],
+            sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=r)
+
+    items = [make_tx(i) for i in range(2)]
+    batch_verify_transactions(items, backend="host", seed=b"w")
+
+    # one bad transaction poisons the batch
+    tx0, proof0 = items[0]
+    bad = Transaction(
+        tx0.input_account_vector, tx0.updated_account_vector,
+        tx0.account_delta_vector, tx0.account_epsilon_vector,
+        tx0.account_updated_delta_vector,
+        list(reversed(tx0.output_account_vector)))
+    with pytest.raises(ValueError):
+        batch_verify_transactions([(bad, proof0), items[1]],
+                                  backend="host", seed=b"w")
 
 
 def test_transaction_insufficient_balance_detected():
