@@ -31,6 +31,19 @@ class Account:
     def set_account(pk: RistrettoPublicKey, comm: ElGamalCommitment) -> "Account":
         return Account(pk, comm)
 
+    # -- serde: 128 bytes = 64-byte pk ‖ 64-byte commitment (the reference's
+    # concatenation layouts, ristretto/keys.rs:113-134 + elgamal.rs:135-156)
+
+    def as_bytes(self) -> bytes:
+        return self.pk.as_bytes() + self.comm.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Account":
+        if len(data) != 128:
+            raise ValueError("Account bytes must be 128 bytes")
+        return cls(RistrettoPublicKey.from_bytes(data[:64]),
+                   ElGamalCommitment.from_bytes(data[64:]))
+
     @staticmethod
     def generate_account(pk: RistrettoPublicKey, rng: SeededRng) -> Tuple["Account", int]:
         """Fresh zero-balance account; returns (account, commitment scalar)."""

@@ -52,6 +52,10 @@ class Writer:
         for p in ps:
             self.point(p)
 
+    def blob(self, b: bytes):
+        self.u32(len(b))
+        self.parts.append(bytes(b))
+
     def bytes_(self) -> bytes:
         return b"".join(self.parts)
 
@@ -102,6 +106,13 @@ class Reader:
 
     def points(self) -> List[bytes]:
         return [self.point() for _ in range(self._count())]
+
+    def blob(self) -> bytes:
+        n = self.u32()
+        self._need(n)
+        v = self.data[self.off:self.off + n]
+        self.off += n
+        return v
 
     def done(self) -> bool:
         return self.off == len(self.data)
@@ -251,8 +262,7 @@ def shuffle_proof_to_bytes(p: ShuffleProof, s: ShuffleStatement) -> bytes:
     return w.bytes_()
 
 
-def shuffle_proof_from_bytes(data: bytes):
-    r = Reader(data)
+def _shuffle_proof_read(r: "Reader"):
     c_A = r.points()
     c_tau = r.points()
     c_B = r.points()
@@ -262,7 +272,108 @@ def shuffle_proof_from_bytes(data: bytes):
     me_pk = _r_multiexpo(r)
     me_commit = _r_multiexpo(r)
     ddh_p, ddh_s = _r_ddh(r)
-    assert r.done(), "trailing bytes in shuffle proof"
     return (ShuffleProof(c_A, c_tau, c_B, c_B_dash, had_p, prod_p, me_pk,
                          me_commit, ddh_p),
             ShuffleStatement(had_s, prod_s, ddh_s))
+
+
+def shuffle_proof_from_bytes(data: bytes):
+    r = Reader(data)
+    out = _shuffle_proof_read(r)
+    if not r.done():
+        raise ValueError("trailing bytes in shuffle proof")
+    return out
+
+
+# -- transactions -------------------------------------------------------------
+
+def _w_account(w: Writer, acc) -> None:
+    w.blob(acc.as_bytes())
+
+
+def _r_account(r: Reader):
+    from ..accounts.accounts import Account
+
+    return Account.from_bytes(r.blob())
+
+
+def _w_accounts(w: Writer, accs) -> None:
+    w.u32(len(accs))
+    for a in accs:
+        _w_account(w, a)
+
+
+def _r_accounts(r: Reader):
+    n = r.u32()
+    if n > len(r.data) // 128:
+        raise ValueError("declared count exceeds remaining proof bytes")
+    return [_r_account(r) for _ in range(n)]
+
+
+def transaction_to_bytes(tx) -> bytes:
+    w = Writer()
+    for vec in (tx.input_account_vector, tx.updated_account_vector,
+                tx.account_delta_vector, tx.account_epsilon_vector,
+                tx.account_updated_delta_vector, tx.output_account_vector):
+        _w_accounts(w, vec)
+    return w.bytes_()
+
+
+def transaction_from_bytes(data: bytes):
+    from ..transaction.transaction import Transaction
+
+    r = Reader(data)
+    vecs = [_r_accounts(r) for _ in range(6)]
+    if not r.done():
+        raise ValueError("trailing bytes in transaction")
+    return Transaction(*vecs)
+
+
+def transaction_proof_to_bytes(p) -> bytes:
+    w = Writer()
+    zv, zr1, zr2, x = p.delta_dleq
+    w.scalars(zv), w.scalars(zr1), w.scalars(zr2), w.scalar(x)
+    z_u, x_u = p.update_dlog
+    w.scalars(z_u), w.scalar(x_u)
+    z_z, x_z = p.zero_dlog
+    w.scalars(z_z), w.scalar(x_z)
+    zv_a, zsk_a, zr_a, x_a = p.sender_dleq
+    w.scalars(zv_a), w.scalars(zsk_a), w.scalars(zr_a), w.scalar(x_a)
+    _w_accounts(w, p.epsilon_sender_accounts)
+    _w_accounts(w, p.anonymity_accounts)
+    w.u32(len(p.range_proofs))
+    for rp in p.range_proofs:
+        w.blob(rp.to_bytes())
+    w.blob(shuffle_proof_to_bytes(p.input_shuffle_proof,
+                                  p.input_shuffle_statement))
+    w.blob(shuffle_proof_to_bytes(p.output_shuffle_proof,
+                                  p.output_shuffle_statement))
+    w.u32(p.senders_count)
+    w.u32(p.receivers_count)
+    w.u32(p.anonymity_account_diff)
+    return w.bytes_()
+
+
+def transaction_proof_from_bytes(data: bytes):
+    from ..bulletproofs.range_proof import RangeProof
+    from ..transaction.transaction import TransactionProof
+
+    r = Reader(data)
+    delta_dleq = (r.scalars(), r.scalars(), r.scalars(), r.scalar())
+    update_dlog = (r.scalars(), r.scalar())
+    zero_dlog = (r.scalars(), r.scalar())
+    sender_dleq = (r.scalars(), r.scalars(), r.scalars(), r.scalar())
+    eps_sender = _r_accounts(r)
+    anonymity = _r_accounts(r)
+    n_rp = r.u32()
+    if n_rp > len(r.data) // 32:
+        raise ValueError("declared count exceeds remaining proof bytes")
+    range_proofs = [RangeProof.from_bytes(r.blob()) for _ in range(n_rp)]
+    in_p, in_s = _shuffle_proof_read(Reader(r.blob()))
+    out_p, out_s = _shuffle_proof_read(Reader(r.blob()))
+    sc, rc, diff = r.u32(), r.u32(), r.u32()
+    if not r.done():
+        raise ValueError("trailing bytes in transaction proof")
+    return TransactionProof(delta_dleq, update_dlog, zero_dlog, sender_dleq,
+                            eps_sender, anonymity, range_proofs,
+                            in_p, in_s, out_p, out_s, sc, rc, diff)

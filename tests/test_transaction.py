@@ -107,6 +107,17 @@ def test_batch_verify_transactions():
     items = [make_tx(i) for i in range(2)]
     batch_verify_transactions(items, backend="host", seed=b"w")
 
+    # wire roundtrip: serialize tx + proof, reload, verify again
+    from quisquis_tpu.utils import serde
+    tx1, proof1 = items[1]
+    tx1b = serde.transaction_from_bytes(serde.transaction_to_bytes(tx1))
+    proof1b = serde.transaction_proof_from_bytes(
+        serde.transaction_proof_to_bytes(proof1))
+    verify_transaction(tx1b, proof1b, backend="host")
+    for blob in (b"", b"\xff" * 64):
+        with pytest.raises(Exception):
+            serde.transaction_proof_from_bytes(blob)
+
     # one bad transaction poisons the batch
     tx0, proof0 = items[0]
     bad = Transaction(
