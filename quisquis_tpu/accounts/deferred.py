@@ -54,7 +54,13 @@ class DeferredPointChecks:
     def __init__(self, seed: Optional[bytes] = None):
         self._seed = os.urandom(32) if seed is None else bytes(seed)
         self._ctr = 0
-        self._acc: dict = {}   # point tuple -> accumulated scalar mod L
+        # keyed by id(point): the repeated points (Pedersen generators) are
+        # the same cached objects across every check, and id() avoids
+        # hashing 4-bigint tuples on every term. Distinct objects holding
+        # equal points simply stay as separate MSM terms (correct, just
+        # unmerged).
+        self._acc: dict = {}   # id(point) -> accumulated scalar mod L
+        self._pts: dict = {}   # id(point) -> point
         self.labels: List[str] = []
 
     def _weight(self) -> int:
@@ -70,8 +76,14 @@ class DeferredPointChecks:
             raise ValueError(f"{msg}: scalar/point length mismatch")
         w = self._weight()
         acc = self._acc
+        pts = self._pts
         for s, p in zip(scalars, points):
-            acc[p] = (acc.get(p, 0) + w * s) % L
+            k = id(p)
+            if k in acc:
+                acc[k] = (acc[k] + w * s) % L
+            else:
+                acc[k] = w * s % L
+                pts[k] = p
         self.labels.append(msg)
 
     def check_eq(self, scalars: Sequence[int], points: Sequence[ex.Point],
@@ -84,7 +96,7 @@ class DeferredPointChecks:
         return len(self._acc)
 
     def _terms(self):
-        items = [(s, p) for p, s in self._acc.items() if s != 0]
+        items = [(s, self._pts[k]) for k, s in self._acc.items() if s != 0]
         return [s for s, _ in items], [p for _, p in items]
 
     def verify(self, backend: str = "auto", mesh=None) -> None:
@@ -98,7 +110,11 @@ class DeferredPointChecks:
         if not scalars:
             return
         if backend == "auto":
-            backend = "device" if len(scalars) >= 4096 else "host"
+            # the threaded native host Pippenger wins until the MSM is
+            # large enough to amortize device transfer + dispatch (the
+            # bench TPU sits behind a ~60 ms tunnel; measured crossover
+            # is in the tens of thousands of terms)
+            backend = "device" if len(scalars) >= 32768 else "host"
         if backend == "host":
             total = ex.pt_msm(scalars, points)
         elif backend == "device":

@@ -74,6 +74,35 @@ class Signature:
         if not ex.pt_eq(lhs, rhs):
             raise ValueError("Error::InvalidSignature")
 
+    def verify_deferred(self, transcript: Transcript,
+                        pubkey: VerificationKey, defer) -> None:
+        """Transcript replay now; the point identity
+        s·g − R − c·h == 0 joins the cross-proof batch MSM."""
+        transcript.domain_sep(b"zkschnorr")
+        transcript.append_point_var(b"G", pubkey.g)
+        transcript.append_point_var(b"H", pubkey.h)
+        transcript.append_point_var(b"R", self.R)
+        c = transcript.get_challenge(b"c")
+        g_pt = ex.ristretto_decode(pubkey.g)
+        h_pt = ex.ristretto_decode(pubkey.h)
+        R_pt = ex.ristretto_decode(self.R)
+        if g_pt is None or h_pt is None or R_pt is None:
+            raise ValueError("Error::Decompression Failed")
+        defer.check([self.s, ex.L - 1, (-c) % ex.L], [g_pt, R_pt, h_pt],
+                    "Error::InvalidSignature")
+
+    @staticmethod
+    def batch_verify(items, backend: str = "auto", mesh=None,
+                     seed: Optional[bytes] = None) -> None:
+        """Verify many (signature, transcript, vk) triples with one MSM
+        (BASELINE config 3: batched Schnorr verification)."""
+        from ..accounts.deferred import DeferredPointChecks
+
+        defer = DeferredPointChecks(seed)
+        for sig, transcript, vk in items:
+            sig.verify_deferred(transcript, vk, defer)
+        defer.verify(backend=backend, mesh=mesh)
+
     # -- message-oriented API ------------------------------------------------
 
     @staticmethod

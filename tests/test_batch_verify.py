@@ -94,6 +94,27 @@ def test_deferred_single_matches_eager():
                  statement, inputs, outputs)
 
 
+def test_schnorr_batch_verify():
+    from quisquis_tpu.primitives.schnorr import Signature, VerificationKey
+
+    r = SeededRng(seed=b"schnorrbatch")
+    items = []
+    for i in range(8):
+        sk = r.random_scalar()
+        vk = VerificationKey.from_secret(sk, r.random_scalar())
+        t = Transcript(b"sig%d" % i)
+        sig = Signature.sign(t.clone(), vk, sk, rng=r)
+        items.append((sig, t, vk))
+    Signature.batch_verify([(s, t.clone(), v) for s, t, v in items],
+                           backend="host", seed=b"w")
+    # one forged signature poisons the batch
+    bad = Signature((items[0][0].s + 1) % L, items[0][0].R)
+    poisoned = [(bad, items[0][1].clone(), items[0][2])] + \
+        [(s, t.clone(), v) for s, t, v in items[1:]]
+    with pytest.raises(ValueError):
+        Signature.batch_verify(poisoned, backend="host", seed=b"w")
+
+
 def test_batch_verify_device_backend():
     batch_verify_shuffle_proofs(make_proofs(2, tag=b"dev"), backend="device",
                                 seed=b"weights")
