@@ -130,6 +130,28 @@ def test_batch_verify_transactions():
                                   backend="host", seed=b"w")
 
 
+def test_transaction_64_account_anonymity_set():
+    """BASELINE config 5 at transaction level: 64-account anonymity set."""
+    r = rng(b"tx64")
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    acc, _ = Account.generate_account(pk, r)
+    acc = Account.update_account(acc, 10, r.random_scalar(), r.random_scalar())
+    rec_pk = RistrettoPublicKey.from_secret_key(RistrettoSecretKey.random(r), r)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=r, n=64)
+    assert len(accounts) == 64 and diff == 62
+    tx, tx_proof = create_transaction(
+        values, accounts, sender_updated_balance=[10 - 5],
+        sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
+        anonymity_account_diff=diff, receiver_updated_balance=[5],
+        senders_count=sc, receivers_count=rc, rng=r)
+    assert len(tx.output_account_vector) == 64
+    verify_transaction(tx, tx_proof, backend="host")
+
+
 def test_transaction_insufficient_balance_detected():
     """An out-of-range sender balance (negative remaining) must fail."""
     r = rng(b"badtx")
