@@ -100,10 +100,52 @@ def tx_demo() -> None:
     print("epsilon conservation check : OK")
 
 
+def batch_demo(count: int = 4) -> None:
+    """Serving path: build `count` transactions, then verify them all with
+    ONE combined MSM (batch_verify_transactions)."""
+    import time
+    from .transaction.transaction import (Sender, Receiver, create_transaction,
+                                          generate_value_and_account_vector,
+                                          batch_verify_transactions)
+
+    rng = SeededRng(seed=b"cli-batch-demo")
+    print(f"== quisquis_tpu batch-verification demo ({count} transactions) ==")
+    items = []
+    t0 = time.perf_counter()
+    for i in range(count):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        acc = Account.update_account(acc, 10 + i, rng.random_scalar(),
+                                     rng.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(rng), rng)
+        sender = Sender(total_amount=-5, account=acc,
+                        receivers=[Receiver(5, rec_pk)])
+        values, accounts, anon_scalars, diff, sc, rc = \
+            generate_value_and_account_vector([sender], rng=rng)
+        items.append(create_transaction(
+            values, accounts, sender_updated_balance=[10 + i - 5],
+            sender_sk=[sk], anonymity_comm_scalar=anon_scalars,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=rng))
+    dt = time.perf_counter() - t0
+    print(f"built {count} transactions    : {dt*1e3:.0f} ms")
+    t0 = time.perf_counter()
+    batch_verify_transactions(items)
+    dt = time.perf_counter() - t0
+    print(f"batch verification         : OK ({dt*1e3:.0f} ms total, "
+          f"{dt*1e3/count:.1f} ms/tx, one combined MSM)")
+
+
 if __name__ == "__main__":
     import sys as _sys
 
-    if "--tx" in _sys.argv:
+    if "--batch" in _sys.argv:
+        idx = _sys.argv.index("--batch")
+        n = int(_sys.argv[idx + 1]) if len(_sys.argv) > idx + 1 else 4
+        batch_demo(n)
+    elif "--tx" in _sys.argv:
         tx_demo()
     else:
         main()
