@@ -268,7 +268,7 @@ def base_mul_pallas(nibbles: jnp.ndarray, tile: int = TILE,
 # tiny [64, tile] -> 1 tail (lane tree-reduce + Horner doubling chain)
 # runs in XLA afterwards.
 
-MSM_TILE = 256
+MSM_TILE = 128  # autotuned on v5e: 128 beats 256/512 at 2^16 (~12% faster)
 WGROUP = 8  # windows handled per accumulation grid step (64 / WGROUP groups)
 
 
