@@ -342,7 +342,10 @@ static void msm_chunk(u64 n, const uint8_t *scalars, const uint8_t *points,
   Pt result;
   pt_identity(&result);
   if (n == 0) { *outp = result; return; }
-  int c = n < 32 ? 4 : (n < 500 ? 6 : 8);
+  // window width: minimize windows*(n + 2*2^c) + 253 doublings;
+  // mid sizes want narrower windows than the classic n/log heuristic
+  // because the bucket sweep costs 2*2^c adds per window
+  int c = n < 32 ? 4 : (n < 160 ? 5 : (n < 500 ? 6 : 8));
   int nbuckets = 1 << c;
   int windows = (253 + c - 1) / c;
   Pt *pts = new Pt[n];

@@ -26,6 +26,14 @@ class PedersenGens:
     def commit(self, value: int, blinding: int) -> ex.Point:
         return ex.pt_add(ex.pt_mul(value, self.B), ex.pt_mul(blinding, self.B_blinding))
 
+    def commit_many(self, values: Sequence[int],
+                    blindings: Sequence[int]) -> List[ex.Point]:
+        """Independent commits in one threaded native call (Strauss
+        shared-doubling per element)."""
+        n = len(values)
+        return ex.pt_fold_batch(list(values), list(blindings),
+                                [self.B] * n, [self.B_blinding] * n)
+
 
 _PC_GENS = None
 

@@ -51,7 +51,7 @@ def create_ek_common(cipher_rows: Sequence[Sequence[ex.Point]],
     cipher_rows: m rows of points; a_rows: m+1 rows of scalars (a_0 first).
     """
     m = len(cipher_rows)
-    e_k = []
+    items = []
     for k in range(2 * m):
         scalars: List[int] = []
         points: List[ex.Point] = []
@@ -60,8 +60,9 @@ def create_ek_common(cipher_rows: Sequence[Sequence[ex.Point]],
             if 0 <= j <= m:
                 scalars.extend(a_rows[j])
                 points.extend(cipher_rows[i])
-        e_k.append(ex.pt_msm(scalars, points))
-    return e_k
+        items.append((scalars, points))
+    # all 2m diagonal MSMs in one threaded native call
+    return ex.pt_msm_many(items)
 
 
 def reencrypt_commitment(p: RistrettoPublicKey, rscalar: int,

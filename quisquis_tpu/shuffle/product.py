@@ -84,7 +84,7 @@ class ZeroProof:
 
         t = [rng.random_scalar() for _ in range(2 * m + 1)]
         t[m + 1] = 0
-        c_D = [_enc(pc.commit(d, ti)) for d, ti in zip(dv, t)]
+        c_D = [_enc(c) for c in pc.commit_many(dv, t)]
 
         prover.allocate_point(b"A0Commitment", c_a_0)
         prover.allocate_point(b"BmCommitment", c_b_m)
