@@ -92,8 +92,8 @@ class Prover:
 
     def prove_rekey_witness_transcript_rng(self, scalars: Sequence[int]):
         builder = self.transcript.clone().build_rng()
-        for s in scalars:
-            builder = builder.rekey_with_witness_bytes(b"", ex.sc_to_bytes(s))
+        wbuf = b"".join(ex.sc_to_bytes(s) for s in scalars)
+        builder = builder.rekey_with_witness_batch(b"", wbuf, 32)
         return builder.finalize(entropy=self._entropy())
 
     def allocate_scalar(self, label: bytes, assignment: int) -> None:

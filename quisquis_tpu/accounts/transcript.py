@@ -95,6 +95,20 @@ class TranscriptRngBuilder:
         self.strobe.key(witness, False)
         return self
 
+    def rekey_with_witness_batch(self, label: bytes, witnesses: bytes,
+                                 wlen: int) -> "TranscriptRngBuilder":
+        """rekey_with_witness_bytes over count fixed-size witnesses packed
+        in one buffer; one native call when the C++ STROBE is loaded."""
+        count = len(witnesses) // wlen
+        rk = getattr(self.strobe, "rekey_witnesses", None)
+        if rk is not None:
+            rk(label, witnesses, wlen, count)
+        else:
+            for i in range(count):
+                self.rekey_with_witness_bytes(
+                    label, witnesses[i * wlen:(i + 1) * wlen])
+        return self
+
     def finalize(self, entropy: bytes | None = None) -> "TranscriptRng":
         """Finalize with 32 bytes of external entropy.
 

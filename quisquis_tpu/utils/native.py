@@ -31,6 +31,12 @@ if os.path.exists(_LIB_PATH):
                                     ctypes.c_uint64, ctypes.c_int]
         _lib.strobe_key.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                     ctypes.c_uint64, ctypes.c_int]
+        try:
+            _lib.strobe_rekey_witnesses.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
+        except AttributeError:  # older library build
+            pass
     except OSError:
         _lib = None
 
@@ -81,3 +87,17 @@ class NativeStrobe128:
 
     def key(self, data: bytes, more: bool) -> None:
         _lib.strobe_key(self._buf(), bytes(data), len(data), int(more))
+
+    def rekey_witnesses(self, label: bytes, witnesses: bytes, wlen: int,
+                        count: int) -> None:
+        """Batched rekey_with_witness_bytes over `count` fixed-size
+        witnesses (one native call instead of 3*count)."""
+        if hasattr(_lib, "strobe_rekey_witnesses"):
+            _lib.strobe_rekey_witnesses(self._buf(), bytes(label), len(label),
+                                        bytes(witnesses), wlen, count)
+        else:  # pragma: no cover - older library build
+            import struct as _struct
+            for i in range(count):
+                self.meta_ad(label, False)
+                self.meta_ad(_struct.pack("<I", wlen), True)
+                self.key(witnesses[i * wlen:(i + 1) * wlen], False)
