@@ -260,7 +260,7 @@ class MultiHadamardProof:
         y_chal = verifier.get_challenge(b"YChallenge")
         x_exp = vectorutil.exp_iter(x, m, skip=1)
         commitment_b = [_dec(c) for c in self.c_B]
-        c_D_mh = [ex.pt_mul(xi, pt) for pt, xi in zip(commitment_b, x_exp)]
+        c_D_mh = ex.pt_mul_batch(list(x_exp[:m]), commitment_b)
         c_D = ex.pt_msm(x_exp[:m - 1], commitment_b[1:m])
         n = len(self.zero_proof.a_vec)
         c_minus_one = _enc(xpc_gens.commit([(-1) % L] * n, 0))

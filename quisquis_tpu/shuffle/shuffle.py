@@ -296,13 +296,16 @@ class ShuffleProof:
             raise ValueError(
                 "Shuffle Proof Verify:prod pf i .. N (yi + x^i -z) failed")
 
-        c_F = []
+        pa_vec, pb_vec = [], []
         for ca, cb in zip(self.c_A, self.c_B):
             pa = ex.ristretto_decode(ca)
             pb = ex.ristretto_decode(cb)
             if pa is None or pb is None:
                 raise ValueError("ShuffleProof Verify: Decompression Failed")
-            c_F.append(ex.pt_add(ex.pt_mul(y, pa), pb))
+            pa_vec.append(pa)
+            pb_vec.append(pb)
+        # c_F_i = y*C_A_i + C_B_i in one threaded Strauss batch
+        c_F = ex.pt_fold_batch([y] * m, [1] * m, pa_vec, pb_vec)
         # C_-z: commitment to the (-z,...,-z) column with zero blinding —
         # all m columns are identical, so commit once and reuse
         comit_z_neg = xpc_gens.commit([(-z) % L] * m, 0)
@@ -313,8 +316,7 @@ class ShuffleProof:
         pks = [acc.pk for acc in shuffle_input]
         g_i = [pk.gr_point for pk in pks]
         h_i = [pk.grsk_point for pk in pks]
-        G = ex.pt_msm(exp_x, g_i)
-        H = ex.pt_msm(exp_x, h_i)
+        G, H = ex.pt_msm_many([(exp_x, g_i), (exp_x, h_i)])
         pk_GH = RistrettoPublicKey.from_points(G, H)
         self.ddh_proof.verify_ddh_proof(verifier, statement.ddh_statement,
                                         pk_GH.gr, pk_GH.grsk)
