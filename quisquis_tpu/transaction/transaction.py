@@ -144,8 +144,7 @@ def create_transaction_r1cs(
     senders_count: int,
     receivers_count: int,
     rng: Optional[SeededRng] = None,
-) -> Tuple[Transaction, "object", ShuffleProof, ShuffleStatement,
-           ShuffleProof, ShuffleStatement]:
+) -> Tuple[Transaction, "TransactionProof"]:
     """The R1CS transaction path (`create_transaction`, transaction.rs:184-475):
     identical flow, but non-negativity is proven with the shared R1CS
     range-gadget constraint system instead of plain bulletproofs, and the
@@ -238,7 +237,90 @@ def create_transaction_r1cs(
         input_shuffle.get_inputs_vector(), updated_accounts, delta_accounts,
         epsilon_accounts, updated_delta_accounts,
         output_shuffle.get_outputs_vector())
-    return tx, range_proof, in_proof, in_stmt, out_proof, out_stmt
+    tx_proof = TransactionProof(
+        delta_dleq=(zv, zr1, zr2, x),
+        update_dlog=(z_vec, x_dlog),
+        zero_dlog=(z_zero, x_zero),
+        sender_dleq=(zv_a, zsk_a, zr_a, x_a),
+        epsilon_sender_accounts=list(eps_sender),
+        anonymity_accounts=list(account_vector[anonymity_index:]),
+        range_proofs=[range_proof],
+        input_shuffle_proof=in_proof,
+        input_shuffle_statement=in_stmt,
+        output_shuffle_proof=out_proof,
+        output_shuffle_statement=out_stmt,
+        senders_count=senders_count,
+        receivers_count=receivers_count,
+        anonymity_account_diff=anonymity_account_diff)
+    return tx, tx_proof
+
+
+def verify_transaction_r1cs(tx: Transaction, proof: TransactionProof,
+                            defer=None, backend: str = "auto",
+                            mesh=None) -> None:
+    """Standalone verification of an R1CS-path Transaction: the sigma and
+    shuffle replay of verify_transaction, with non-negativity checked by
+    the shared R1CS range-gadget constraint system and the output shuffle
+    on its fresh transcript (transaction.rs:426-428 semantics)."""
+    from ..accounts.deferred import DeferredPointChecks
+    from ..accounts.rangeproof import RangeProofVerifier
+
+    own = defer is None
+    if own:
+        defer = DeferredPointChecks()
+    n = len(tx.input_account_vector)
+    sc, rc = proof.senders_count, proof.receivers_count
+    anonymity_index = n - proof.anonymity_account_diff
+    base_pk = RistrettoPublicKey.generate_base_pk()
+
+    qq_verifier = Verifier(b"QuisQuis", Transcript(b"QuisQuisProof"))
+    proof.input_shuffle_proof.verify(
+        qq_verifier, proof.input_shuffle_statement,
+        tx.input_account_vector, tx.updated_account_vector, defer=defer)
+
+    Verifier.verify_delta_identity_check(tx.account_epsilon_vector)
+    zv, zr1, zr2, x = proof.delta_dleq
+    Verifier.verify_delta_compact_verifier(
+        tx.account_delta_vector, tx.account_epsilon_vector, zv, zr1, zr2, x,
+        qq_verifier)
+    if not Account.verify_delta_update(tx.account_updated_delta_vector,
+                                       tx.account_delta_vector,
+                                       tx.updated_account_vector):
+        raise ValueError("Transaction Verify: delta update mismatch")
+
+    z_vec, x_dlog = proof.update_dlog
+    Verifier.verify_update_account_verifier(
+        tx.updated_account_vector[anonymity_index:],
+        tx.account_updated_delta_vector[anonymity_index:], z_vec, x_dlog,
+        qq_verifier)
+
+    input_set = {(a.pk.gr, a.pk.grsk, a.comm.c, a.comm.d)
+                 for a in tx.input_account_vector}
+    for a in proof.anonymity_accounts:
+        if (a.pk.gr, a.pk.grsk, a.comm.c, a.comm.d) not in input_set:
+            raise ValueError(
+                "Transaction Verify: anonymity account not in input set")
+    z_zero, x_zero = proof.zero_dlog
+    Verifier.zero_balance_account_vector_verifier(
+        proof.anonymity_accounts, z_zero, x_zero, qq_verifier)
+
+    zv_a, zsk_a, zr_a, x_a = proof.sender_dleq
+    rp_verifier = RangeProofVerifier(Transcript(b"Rangeproof.r1cs"))
+    Verifier.verify_account_verifier(
+        tx.account_updated_delta_vector[:sc], proof.epsilon_sender_accounts,
+        base_pk, zv_a, zsk_a, zr_a, x_a, rp_verifier, qq_verifier)
+    receiver_eps = tx.account_epsilon_vector[sc:sc + rc]
+    Verifier.verify_non_negative_verifier(receiver_eps, rp_verifier)
+    rp_verifier.verify_proof(proof.range_proofs[0])
+
+    osv = Verifier(b"Shuffle", Transcript(b"OutputShuffleProof"))
+    proof.output_shuffle_proof.verify(
+        osv, proof.output_shuffle_statement,
+        tx.account_updated_delta_vector, tx.output_account_vector,
+        defer=defer)
+
+    if own:
+        defer.verify(backend=backend, mesh=mesh)
 
 
 def create_transaction(

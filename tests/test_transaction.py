@@ -205,10 +205,20 @@ def test_full_transaction_r1cs_roundtrip():
                     receivers=[Receiver(5, rec_pk)])
     values, accounts, anon_scalars, diff, sc, rc = \
         generate_value_and_account_vector([sender], rng=r)
-    tx, range_proof, in_p, in_s, out_p, out_s = create_transaction_r1cs(
+    from quisquis_tpu.transaction.transaction import verify_transaction_r1cs
+    tx, tx_proof = create_transaction_r1cs(
         values, accounts, sender_updated_balance=[5], sender_sk=[sk],
         anonymity_comm_scalar=anon_scalars, anonymity_account_diff=diff,
         receiver_updated_balance=[5], senders_count=sc, receivers_count=rc,
         rng=r)
     assert len(tx.output_account_vector) == 9
-    assert range_proof.serialized_size() > 0
+    assert tx_proof.range_proofs[0].serialized_size() > 0
+    # standalone third-party verification of the R1CS path
+    verify_transaction_r1cs(tx, tx_proof, backend="host")
+    bad = Transaction(
+        tx.input_account_vector, tx.updated_account_vector,
+        tx.account_delta_vector, tx.account_epsilon_vector,
+        tx.account_updated_delta_vector,
+        list(reversed(tx.output_account_vector)))
+    with pytest.raises(ValueError):
+        verify_transaction_r1cs(bad, tx_proof, backend="host")
