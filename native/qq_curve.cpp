@@ -336,12 +336,50 @@ void qq_pt_scalar_mul(const uint8_t *scalar, const uint8_t *p, uint8_t *out) {
   pt_store(out, &r);
 }
 
+// Strauss (interleaved windowed) MSM for small n: one shared 252-doubling
+// chain, per-point 16-entry tables. Cost ~ 78n + 252 point ops vs
+// Pippenger's windows*(n + 2*2^c) — wins below n ~ 96 because the bucket
+// sweep is fixed overhead per window.
+static void msm_strauss(u64 n, const uint8_t *scalars, const uint8_t *points,
+                        Pt *outp) {
+  Pt *tables = new Pt[n * 16];
+  for (u64 i = 0; i < n; i++) {
+    Pt *t = tables + i * 16;
+    pt_identity(&t[0]);
+    pt_load(&t[1], points + 128 * i);
+    for (int k = 2; k < 16; k++) {
+      if (k % 2 == 0) pt_double(&t[k], &t[k / 2]);
+      else pt_add(&t[k], &t[k - 1], &t[1]);
+    }
+  }
+  Pt r;
+  pt_identity(&r);
+  int started = 0;
+  for (int i = 31; i >= 0; i--) {
+    for (int half = 1; half >= 0; half--) {
+      if (started) {
+        pt_double(&r, &r); pt_double(&r, &r);
+        pt_double(&r, &r); pt_double(&r, &r);
+      }
+      for (u64 j = 0; j < n; j++) {
+        int nib = half ? (scalars[32 * j + i] >> 4) : (scalars[32 * j + i] & 15);
+        if (!nib) continue;
+        if (started) pt_add(&r, &r, &tables[j * 16 + nib]);
+        else { r = tables[j * 16 + nib]; started = 1; }
+      }
+    }
+  }
+  delete[] tables;
+  *outp = r;
+}
+
 // Pippenger MSM over one chunk: scalars[n*32], points[n*128] -> *outp
 static void msm_chunk(u64 n, const uint8_t *scalars, const uint8_t *points,
                       Pt *outp) {
   Pt result;
   pt_identity(&result);
   if (n == 0) { *outp = result; return; }
+  if (n < 96) { msm_strauss(n, scalars, points, outp); return; }
   // window width: minimize windows*(n + 2*2^c) + 253 doublings;
   // mid sizes want narrower windows than the classic n/log heuristic
   // because the bucket sweep costs 2*2^c adds per window
@@ -658,6 +696,53 @@ void qq_fold_batch(u64 n, const uint8_t *as, const uint8_t *bs,
     ths.emplace_back(fold_batch_range, lo, hi, as, bs, ps, qs, out);
   }
   for (auto &th : ths) th.join();
+}
+
+// batched ristretto encode/decode (threaded): one ctypes crossing for a
+// whole proof's worth of compress/decompress work
+void qq_ristretto_encode_batch(u64 n, const uint8_t *points, uint8_t *out) {
+  auto range = [](u64 lo, u64 hi, const uint8_t *pts, uint8_t *o) {
+    for (u64 i = lo; i < hi; i++) qq_ristretto_encode(pts + 128 * i, o + 32 * i);
+  };
+  unsigned nt = pool_threads(n, 16);
+  if (nt <= 1) { range(0, n, points, out); return; }
+  std::vector<std::thread> ths;
+  u64 per = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    u64 lo = per * t, hi = lo + per < n ? lo + per : n;
+    ths.emplace_back(range, lo, hi, points, out);
+  }
+  for (auto &th : ths) th.join();
+}
+
+// returns the index of the first invalid encoding, or -1 if all decode
+long long qq_ristretto_decode_batch(u64 n, const uint8_t *in,
+                                    uint8_t *points_out) {
+  std::vector<long long> bad((size_t)pool_threads(n, 16), -1);
+  auto range = [&bad](unsigned t, u64 lo, u64 hi, const uint8_t *b,
+                      uint8_t *o) {
+    for (u64 i = lo; i < hi; i++)
+      if (!qq_ristretto_decode(b + 32 * i, o + 128 * i)) {
+        bad[t] = (long long)i;
+        return;
+      }
+  };
+  unsigned nt = (unsigned)bad.size();
+  if (nt <= 1) {
+    range(0, 0, n, in, points_out);
+    return bad[0];
+  }
+  std::vector<std::thread> ths;
+  u64 per = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    u64 lo = per * t, hi = lo + per < n ? lo + per : n;
+    ths.emplace_back(range, t, lo, hi, in, points_out);
+  }
+  for (auto &th : ths) th.join();
+  long long first = -1;
+  for (long long b : bad)
+    if (b >= 0 && (first < 0 || b < first)) first = b;
+  return first;
 }
 
 }  // extern "C"

@@ -78,27 +78,24 @@ class Verifier:
         for d, e in zip(delta_accounts, epsilon_accounts):
             verifier.allocate_account(b"delta_account", d)
             verifier.allocate_account(b"epsilon_account", e)
+        # all 4n first-message recomputations in one threaded native call
+        rows = []
         for i in range(len(delta_accounts)):
-            e_delta = Verifier.multiscalar_multiplication(
-                [zr1_vector[i], x],
-                [delta_accounts[i].pk.gr, delta_accounts[i].comm.c])
-            f_delta = Verifier.multiscalar_multiplication(
-                [zr1_vector[i], x, zv_vector[i]],
-                [delta_accounts[i].pk.grsk, delta_accounts[i].comm.d,
-                 BASEPOINT_BYTES])
-            e_eps = Verifier.multiscalar_multiplication(
-                [zr2_vector[i], x],
-                [epsilon_accounts[i].pk.gr, epsilon_accounts[i].comm.c])
-            f_eps = Verifier.multiscalar_multiplication(
-                [zr2_vector[i], x, zv_vector[i]],
-                [epsilon_accounts[i].pk.grsk, epsilon_accounts[i].comm.d,
-                 BASEPOINT_BYTES])
-            if None in (e_delta, f_delta, e_eps, f_eps):
-                raise ValueError("Delta Compact Proof Verify: Failed")
-            verifier.allocate_point(b"e_delta", _enc(e_delta))
-            verifier.allocate_point(b"f_delta", _enc(f_delta))
-            verifier.allocate_point(b"e_epsilon", _enc(e_eps))
-            verifier.allocate_point(b"f_epsilon", _enc(f_eps))
+            d, e = delta_accounts[i], epsilon_accounts[i]
+            rows.append(([zr1_vector[i], x],
+                         [d.pk.gr_point, d.comm.c_point]))
+            rows.append(([zr1_vector[i], x, zv_vector[i]],
+                         [d.pk.grsk_point, d.comm.d_point, ex.BASEPOINT]))
+            rows.append(([zr2_vector[i], x],
+                         [e.pk.gr_point, e.comm.c_point]))
+            rows.append(([zr2_vector[i], x, zv_vector[i]],
+                         [e.pk.grsk_point, e.comm.d_point, ex.BASEPOINT]))
+        encs = ex.ristretto_encode_batch(ex.pt_msm_many(rows))
+        for i in range(len(delta_accounts)):
+            verifier.allocate_point(b"e_delta", encs[4 * i])
+            verifier.allocate_point(b"f_delta", encs[4 * i + 1])
+            verifier.allocate_point(b"e_epsilon", encs[4 * i + 2])
+            verifier.allocate_point(b"f_epsilon", encs[4 * i + 3])
         if verifier.get_challenge(b"challenge") != x % L:
             raise ValueError("Dleq Proof Verify: Failed")
 
@@ -110,16 +107,17 @@ class Verifier:
     ) -> None:
         a = [d.comm - i.comm
              for i, d in zip(updated_input_accounts, updated_delta_accounts)]
-        e11, e12 = [], []
+        rows = []
         for i in range(len(z_vector)):
-            p1 = Verifier.multiscalar_multiplication(
-                [z_vector[i], x], [updated_input_accounts[i].pk.gr, a[i].c])
-            p2 = Verifier.multiscalar_multiplication(
-                [z_vector[i], x], [updated_input_accounts[i].pk.grsk, a[i].d])
-            if p1 is None or p2 is None:
-                raise ValueError("DLOG Proof Verify: Failed")
-            e11.append(_enc(p1))
-            e12.append(_enc(p2))
+            rows.append(([z_vector[i], x],
+                         [updated_input_accounts[i].pk.gr_point,
+                          a[i].c_point]))
+            rows.append(([z_vector[i], x],
+                         [updated_input_accounts[i].pk.grsk_point,
+                          a[i].d_point]))
+        encs = ex.ristretto_encode_batch(ex.pt_msm_many(rows))
+        e11 = encs[0::2]
+        e12 = encs[1::2]
         verifier.new_domain_sep(b"DLOGProof")
         for inp, out in zip(updated_input_accounts, updated_delta_accounts):
             verifier.allocate_point(b"inputgr", inp.pk.gr)
@@ -237,15 +235,14 @@ class Verifier:
         verifier.new_domain_sep(b"ZeroBalanceAccountVectorProof")
         for acc in anonymity_accounts:
             verifier.allocate_account(b"anonymity_account", acc)
+        rows = []
         for i, acc in enumerate(anonymity_accounts):
-            e = Verifier.multiscalar_multiplication(
-                [z[i], x], [acc.pk.gr, acc.comm.c])
-            f = Verifier.multiscalar_multiplication(
-                [z[i], x], [acc.pk.grsk, acc.comm.d])
-            if e is None or f is None:
-                raise ValueError("Zero balance Account Verify: Failed")
-            verifier.allocate_point(b"e", _enc(e))
-            verifier.allocate_point(b"f", _enc(f))
+            rows.append(([z[i], x], [acc.pk.gr_point, acc.comm.c_point]))
+            rows.append(([z[i], x], [acc.pk.grsk_point, acc.comm.d_point]))
+        encs = ex.ristretto_encode_batch(ex.pt_msm_many(rows))
+        for i in range(len(anonymity_accounts)):
+            verifier.allocate_point(b"e", encs[2 * i])
+            verifier.allocate_point(b"f", encs[2 * i + 1])
         if verifier.get_challenge(b"challenge") != x % L:
             raise ValueError("Zero balance account verification failed")
 
@@ -275,15 +272,14 @@ class Verifier:
         verifier.new_domain_sep(b"DestroyAccountProof")
         for acc in accounts:
             verifier.allocate_account(b"account", acc)
+        rows = []
         for i, acc in enumerate(accounts):
-            e = Verifier.multiscalar_multiplication(
-                [z[i], x], [acc.pk.gr, acc.pk.grsk])
-            f = Verifier.multiscalar_multiplication(
-                [z[i], x], [acc.comm.c, acc.comm.d])
-            if e is None or f is None:
-                raise ValueError("Destroy Account Verify: Failed")
-            verifier.allocate_point(b"e", _enc(e))
-            verifier.allocate_point(b"f", _enc(f))
+            rows.append(([z[i], x], [acc.pk.gr_point, acc.pk.grsk_point]))
+            rows.append(([z[i], x], [acc.comm.c_point, acc.comm.d_point]))
+        encs = ex.ristretto_encode_batch(ex.pt_msm_many(rows))
+        for i in range(len(accounts)):
+            verifier.allocate_point(b"e", encs[2 * i])
+            verifier.allocate_point(b"f", encs[2 * i + 1])
         if verifier.get_challenge(b"challenge") != x % L:
             raise ValueError("Destroy account verification failed")
 

@@ -291,6 +291,21 @@ def ristretto_encode(p: Point) -> bytes:
     return fe_to_bytes(s)
 
 
+def ristretto_encode_batch(points) -> list:
+    return [ristretto_encode(p) for p in points]
+
+
+def ristretto_decode_batch(blobs) -> Optional[list]:
+    """Decode many 32-byte encodings; None if ANY is invalid."""
+    out = []
+    for b in blobs:
+        p = ristretto_decode(b)
+        if p is None:
+            return None
+        out.append(p)
+    return out
+
+
 def ristretto_decode(b: bytes) -> Optional[Point]:
     if len(b) != 32:
         return None
@@ -389,6 +404,8 @@ pt_mul_batch_py = pt_mul_batch
 pt_fold_batch_py = pt_fold_batch
 ristretto_encode_py = ristretto_encode
 ristretto_decode_py = ristretto_decode
+ristretto_encode_batch_py = ristretto_encode_batch
+ristretto_decode_batch_py = ristretto_decode_batch
 
 NATIVE_CURVE = False
 
@@ -397,6 +414,7 @@ def _try_enable_native() -> None:
     global pt_add, pt_double, pt_mul, pt_base_mul, pt_msm
     global pt_mul_batch, pt_fold_batch, pt_msm_many
     global ristretto_encode, ristretto_decode, NATIVE_CURVE
+    global ristretto_encode_batch, ristretto_decode_batch
     try:
         import sys
         from ..utils import native_curve as nc
@@ -439,6 +457,8 @@ def _try_enable_native() -> None:
     pt_msm_many = _pt_msm_many
     ristretto_encode = nc.ristretto_encode
     ristretto_decode = nc.ristretto_decode
+    ristretto_encode_batch = nc.ristretto_encode_batch
+    ristretto_decode_batch = nc.ristretto_decode_batch
     NATIVE_CURVE = True
 
 

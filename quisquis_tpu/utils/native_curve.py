@@ -44,6 +44,11 @@ def _load():
         lib.qq_pt_msm_many.argtypes = [
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.qq_ristretto_encode_batch.argtypes = [
+            ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
+        lib.qq_ristretto_decode_batch.argtypes = [
+            ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
+        lib.qq_ristretto_decode_batch.restype = ctypes.c_longlong
     except (OSError, AttributeError):
         return None
     _lib = lib
@@ -182,3 +187,27 @@ def ristretto_decode(b: bytes) -> Optional[tuple]:
     out = ctypes.create_string_buffer(128)
     ok = _lib.qq_ristretto_decode(bytes(b), out)
     return _pt_from_bytes(out.raw) if ok else None
+
+
+def ristretto_encode_batch(points) -> List[bytes]:
+    n = len(points)
+    pbuf = b"".join(_pt_to_bytes(p) for p in points)
+    out = ctypes.create_string_buffer(32 * n)
+    _lib.qq_ristretto_encode_batch(n, pbuf, out)
+    raw = out.raw
+    return [raw[32 * i:32 * (i + 1)] for i in range(n)]
+
+
+def ristretto_decode_batch(blobs) -> Optional[List[tuple]]:
+    """Decode many 32-byte encodings; None if ANY is invalid."""
+    n = len(blobs)
+    for b in blobs:
+        if len(b) != 32:
+            return None
+    out = ctypes.create_string_buffer(128 * n)
+    bad = _lib.qq_ristretto_decode_batch(n, b"".join(bytes(b) for b in blobs),
+                                         out)
+    if bad >= 0:
+        return None
+    raw = out.raw
+    return [_pt_from_bytes(raw[128 * i:128 * (i + 1)]) for i in range(n)]
