@@ -134,21 +134,26 @@ class Prover:
             r2_dash.append(trng.random_scalar())
             v_dd.append(trng.random_scalar())
 
-        e_delta = [ex.pt_mul(r1, d.pk.gr_point)
-                   for d, r1 in zip(delta_accounts, r1_dash)]
-        gv_dd = [ex.pt_base_mul(v) for v in v_dd]
-        f_delta = [ex.pt_add(gv, ex.pt_mul(r1, d.pk.grsk_point))
-                   for gv, d, r1 in zip(gv_dd, delta_accounts, r1_dash)]
-        e_eps = [ex.pt_mul(r2, e.pk.gr_point)
-                 for e, r2 in zip(epsilon_accounts, r2_dash)]
-        f_eps = [ex.pt_add(gv, ex.pt_mul(r2, e.pk.grsk_point))
-                 for gv, e, r2 in zip(gv_dd, epsilon_accounts, r2_dash)]
-
+        # first messages in three threaded native batches + one encode pass
+        B = ex.BASEPOINT
+        e_delta = ex.pt_mul_batch(
+            r1_dash + r2_dash,
+            [d.pk.gr_point for d in delta_accounts]
+            + [e.pk.gr_point for e in epsilon_accounts])
+        e_eps = e_delta[n:]
+        e_delta = e_delta[:n]
+        f_delta = ex.pt_fold_batch(
+            v_dd + v_dd, r1_dash + r2_dash, [B] * (2 * n),
+            [d.pk.grsk_point for d in delta_accounts]
+            + [e.pk.grsk_point for e in epsilon_accounts])
+        f_eps = f_delta[n:]
+        f_delta = f_delta[:n]
+        encs = ex.ristretto_encode_batch(e_delta + f_delta + e_eps + f_eps)
         for i in range(n):
-            prover.allocate_point(b"e_delta", _enc(e_delta[i]))
-            prover.allocate_point(b"f_delta", _enc(f_delta[i]))
-            prover.allocate_point(b"e_epsilon", _enc(e_eps[i]))
-            prover.allocate_point(b"f_epsilon", _enc(f_eps[i]))
+            prover.allocate_point(b"e_delta", encs[i])
+            prover.allocate_point(b"f_delta", encs[n + i])
+            prover.allocate_point(b"e_epsilon", encs[2 * n + i])
+            prover.allocate_point(b"f_epsilon", encs[3 * n + i])
 
         x = prover.get_challenge(b"challenge")
         zv = [(vd - v * x) % L for vd, v in zip(v_dd, value_vector)]
@@ -220,22 +225,26 @@ class Prover:
         rsk = [trng.random_scalar() for _ in range(n)]
         r_dash = [trng.random_scalar() for _ in range(n)]
 
-        e_delta = [ex.pt_mul(r, d.pk.gr_point)
-                   for d, r in zip(updated_delta_account_sender, rsk)]
-        g_rv = [ex.pt_mul(r, e.pk.gr_point) for e, r in zip(epsilon_accounts, rv)]
-        c_rsk = [ex.pt_mul(r, d.comm.c_point)
-                 for d, r in zip(updated_delta_account_sender, rsk)]
-        f_delta = [ex.pt_add(a, b) for a, b in zip(g_rv, c_rsk)]
-        e_eps = [ex.pt_mul(r, e.pk.gr_point) for e, r in zip(epsilon_accounts, r_dash)]
-        h_rdash = [ex.pt_mul(r, e.pk.grsk_point)
-                   for e, r in zip(epsilon_accounts, r_dash)]
-        f_eps = [ex.pt_add(a, b) for a, b in zip(g_rv, h_rdash)]
-
+        eps_gr = [e.pk.gr_point for e in epsilon_accounts]
+        e_delta = ex.pt_mul_batch(
+            rsk + r_dash,
+            [d.pk.gr_point for d in updated_delta_account_sender] + eps_gr)
+        e_eps = e_delta[n:]
+        e_delta = e_delta[:n]
+        # f_delta_i = rv_i*eps_gr_i + rsk_i*delta_c_i;
+        # f_eps_i   = rv_i*eps_gr_i + r_dash_i*eps_grsk_i
+        f_delta = ex.pt_fold_batch(
+            rv + rv, rsk + r_dash, eps_gr + eps_gr,
+            [d.comm.c_point for d in updated_delta_account_sender]
+            + [e.pk.grsk_point for e in epsilon_accounts])
+        f_eps = f_delta[n:]
+        f_delta = f_delta[:n]
+        encs = ex.ristretto_encode_batch(e_delta + f_delta + e_eps + f_eps)
         for i in range(n):
-            prover.allocate_point(b"e_delta", _enc(e_delta[i]))
-            prover.allocate_point(b"f_delta", _enc(f_delta[i]))
-            prover.allocate_point(b"e_epsilon", _enc(e_eps[i]))
-            prover.allocate_point(b"f_epsilon", _enc(f_eps[i]))
+            prover.allocate_point(b"e_delta", encs[i])
+            prover.allocate_point(b"f_delta", encs[n + i])
+            prover.allocate_point(b"e_epsilon", encs[2 * n + i])
+            prover.allocate_point(b"f_epsilon", encs[3 * n + i])
 
         x = prover.get_challenge(b"challenge")
         zv = [(r - v * x) % L for r, v in zip(rv, v_vector)]
@@ -284,13 +293,15 @@ class Prover:
             prover.allocate_account(b"anonymity_account", acc)
         trng = prover.prove_impl()
         r_vector = [trng.random_scalar() for _ in comm_rscalar]
-        e_i = [ex.pt_mul(r, acc.pk.gr_point)
-               for acc, r in zip(anonymity_accounts, r_vector)]
-        f_i = [ex.pt_mul(r, acc.pk.grsk_point)
-               for acc, r in zip(anonymity_accounts, r_vector)]
-        for e, f in zip(e_i, f_i):
-            prover.allocate_point(b"e", _enc(e))
-            prover.allocate_point(b"f", _enc(f))
+        n = len(r_vector)
+        pts = ex.pt_mul_batch(
+            r_vector + r_vector,
+            [acc.pk.gr_point for acc in anonymity_accounts]
+            + [acc.pk.grsk_point for acc in anonymity_accounts])
+        encs = ex.ristretto_encode_batch(pts)
+        for i in range(n):
+            prover.allocate_point(b"e", encs[i])
+            prover.allocate_point(b"f", encs[n + i])
         x = prover.get_challenge(b"challenge")
         z = [(r - s * x) % L for r, s in zip(r_vector, comm_rscalar)]
         return SigmaProof.dlog(z, x)
@@ -324,11 +335,15 @@ class Prover:
             prover.allocate_account(b"account", acc)
         trng = prover.prove_impl()
         r_vector = [trng.random_scalar() for _ in sk]
-        e_i = [ex.pt_mul(r, acc.pk.gr_point) for acc, r in zip(accounts, r_vector)]
-        f_i = [ex.pt_mul(r, acc.comm.c_point) for acc, r in zip(accounts, r_vector)]
-        for e, f in zip(e_i, f_i):
-            prover.allocate_point(b"e", _enc(e))
-            prover.allocate_point(b"f", _enc(f))
+        n = len(r_vector)
+        pts = ex.pt_mul_batch(
+            r_vector + r_vector,
+            [acc.pk.gr_point for acc in accounts]
+            + [acc.comm.c_point for acc in accounts])
+        encs = ex.ristretto_encode_batch(pts)
+        for i in range(n):
+            prover.allocate_point(b"e", encs[i])
+            prover.allocate_point(b"f", encs[n + i])
         x = prover.get_challenge(b"challenge")
         z = [(r - s * x) % L for r, s in zip(r_vector, sk_scalars)]
         return SigmaProof.dlog(z, x)
