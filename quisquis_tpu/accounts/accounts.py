@@ -106,13 +106,22 @@ class Account:
         base_pk: RistrettoPublicKey, rng: SeededRng,
     ) -> Tuple[List["Account"], List["Account"], List[int]]:
         """Delta: Enc_pk_i(v_i, r_i); epsilon: Enc_base_pk(v_i, r_i); sum r = 0."""
-        rscalar = Account.generate_sum_and_negate_rscalar(len(accounts), rng)
-        delta, epsilon = [], []
-        for i, acc in enumerate(accounts):
-            comm_delta = ElGamalCommitment.generate_commitment(acc.pk, rscalar[i], bl[i])
-            delta.append(Account(acc.pk, comm_delta))
-            comm_eps = ElGamalCommitment.generate_commitment(base_pk, rscalar[i], bl[i])
-            epsilon.append(Account(base_pk, comm_eps))
+        n = len(accounts)
+        rscalar = Account.generate_sum_and_negate_rscalar(n, rng)
+        vals = [b % ex.L for b in bl]
+        # all 2n commitments in two threaded native batches:
+        # c_i = r_i*gr_i; d_i = v_i*B + r_i*grsk_i
+        c_pts = ex.pt_mul_batch(
+            rscalar + rscalar,
+            [acc.pk.gr_point for acc in accounts] + [base_pk.gr_point] * n)
+        d_pts = ex.pt_fold_batch(
+            vals + vals, rscalar + rscalar, [ex.BASEPOINT] * (2 * n),
+            [acc.pk.grsk_point for acc in accounts]
+            + [base_pk.grsk_point] * n)
+        delta = [Account(acc.pk, ElGamalCommitment.from_points(c, d))
+                 for acc, c, d in zip(accounts, c_pts[:n], d_pts[:n])]
+        epsilon = [Account(base_pk, ElGamalCommitment.from_points(c, d))
+                   for c, d in zip(c_pts[n:], d_pts[n:])]
         return delta, epsilon, rscalar
 
     @staticmethod
