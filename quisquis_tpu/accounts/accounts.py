@@ -87,6 +87,33 @@ class Account:
         return Account(updated_pk, updated_comm)
 
     @staticmethod
+    def update_accounts_batch(accounts: Sequence["Account"], bls: Sequence[int],
+                              update_key_scalars: Sequence[int],
+                              comm_scalars: Sequence[int]) -> List["Account"]:
+        """update_account over a vector in three threaded native batches
+        (the shuffle updates every account of the anonymity set at once)."""
+        n = len(accounts)
+        # pk'_i = c_i*(gr_i, grsk_i); new_c_i = r_i*gr_i; then one fold for
+        # new_d_i = v_i*B + r_i*grsk_i
+        muls = ex.pt_mul_batch(
+            list(update_key_scalars) + list(update_key_scalars)
+            + list(comm_scalars),
+            [a.pk.gr_point for a in accounts]
+            + [a.pk.grsk_point for a in accounts]
+            + [a.pk.gr_point for a in accounts])
+        new_d = ex.pt_fold_batch(
+            [b % ex.L for b in bls], list(comm_scalars),
+            [ex.BASEPOINT] * n, [a.pk.grsk_point for a in accounts])
+        out = []
+        for i, a in enumerate(accounts):
+            pk = RistrettoPublicKey.from_points(muls[i], muls[n + i])
+            comm = ElGamalCommitment.from_points(
+                ex.pt_add(muls[2 * n + i], a.comm.c_point),
+                ex.pt_add(new_d[i], a.comm.d_point))
+            out.append(Account(pk, comm))
+        return out
+
+    @staticmethod
     def verify_account_update(updated_input_accounts: Sequence["Account"],
                               accounts: Sequence["Account"],
                               updated_keys_scalar: Sequence[int],

@@ -115,8 +115,8 @@ class Shuffle:
         permutation = pi.get_row_major()
         shuffled = [inputs[permutation[i] - 1] for i in range(length)]
         pi.set(pi.invert_permutation())
-        updated = [Account.update_account(acc, 0, t, rho)
-                   for acc, t in zip(inputs, tau)]
+        updated = Account.update_accounts_batch(
+            list(inputs), [0] * length, tau, [rho] * length)
         return Shuffle(shuffled, updated, tau, rho, pi)
 
     @staticmethod
@@ -130,8 +130,8 @@ class Shuffle:
         pi, tau, rho = Shuffle._random_initialization(length, rng)
         permutation = pi.get_row_major()
         shuffled = [inputs[permutation[i] - 1] for i in range(length)]
-        outputs = [Account.update_account(acc, 0, t, rho)
-                   for acc, t in zip(shuffled, tau)]
+        outputs = Account.update_accounts_batch(
+            shuffled, [0] * length, tau, [rho] * length)
         return Shuffle(list(inputs), outputs, tau, rho, pi)
 
     def get_inputs_vector(self) -> List[Account]:
