@@ -263,6 +263,54 @@ def config5c_batch_shuffle_verify(batch=16, n=64):
            f"{batch/dt_dev:.1f}/s (auto picks by term count)")
 
 
+def config6_transaction_serving(batch=8):
+    """Serving path: build `batch` full 9-account transactions, then verify
+    them all with one combined MSM (no BASELINE analog — the reference's
+    transaction module is dead code)."""
+    from quisquis_tpu.accounts.transcript import SeededRng
+    from quisquis_tpu.transaction.transaction import (
+        Sender, Receiver, create_transaction,
+        generate_value_and_account_vector, batch_verify_transactions)
+    from quisquis_tpu.primitives.keys import (RistrettoSecretKey,
+                                              RistrettoPublicKey)
+    from quisquis_tpu.accounts.accounts import Account
+
+    r = SeededRng(seed=b"bench6")
+
+    def make_tx(i):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        acc = Account.update_account(acc, 10 + i, r.random_scalar(),
+                                     r.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(r), r)
+        sender = Sender(total_amount=-5, account=acc,
+                        receivers=[Receiver(5, rec_pk)])
+        values, accounts, anon, diff, sc, rc = \
+            generate_value_and_account_vector([sender], rng=r)
+        return create_transaction(
+            values, accounts, sender_updated_balance=[10 + i - 5],
+            sender_sk=[sk], anonymity_comm_scalar=anon,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=r)
+
+    make_tx(0)  # warm
+    t0 = time.perf_counter()
+    items = [make_tx(i) for i in range(batch)]
+    t_build = (time.perf_counter() - t0) / batch
+    batch_verify_transactions(items, seed=b"w")  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batch_verify_transactions(items, seed=b"w")
+        best = min(best, time.perf_counter() - t0)
+    record("6: transaction build (prove + self-verify)", t_build * 1000, "ms",
+           "9-account anonymity set")
+    record("6b: transaction batch verification", batch / best, "tx/s",
+           f"batch={batch}, one combined MSM, {best*1e3:.0f} ms total")
+
+
 def config_scaling_efficiency(log_n=14):
     """Sharded-MSM scaling efficiency across mesh sizes (BASELINE target:
     >=0.85 at 2 hosts on batched shuffle-proof verification, whose device
@@ -331,6 +379,7 @@ def main():
     config4c_batch_verify()
     config5_shuffle_64()
     config5c_batch_shuffle_verify()
+    config6_transaction_serving()
     with open("BENCHMARKS.md", "w") as f:
         f.write(f"# Benchmark results\n\ndevice: `{dev}`\n\n")
         f.write("| config | value | unit | detail |\n|---|---|---|---|\n")
