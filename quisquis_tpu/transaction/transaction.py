@@ -356,9 +356,13 @@ def create_transaction(
         ShuffleProof.create_shuffle_proof(qq_prover, input_shuffle, rng=rng)
     tv = Transcript(b"QuisQuisProof")
     qq_verifier = Verifier(b"QuisQuis", tv)
+    # self-verification point checks accumulate into ONE MSM evaluated just
+    # before returning (same checks as the reference's eager loop)
+    from ..accounts.deferred import DeferredPointChecks
+    defer = DeferredPointChecks()
     input_shuffle_proof.verify(qq_verifier, input_shuffle_statement,
                                input_shuffle.get_inputs_vector(),
-                               updated_accounts)
+                               updated_accounts, defer=defer)
 
     # Step 3: delta/epsilon accounts
     delta_accounts, epsilon_accounts, delta_rscalar = \
@@ -420,10 +424,10 @@ def create_transaction(
     bp_epsilon_vec = list(eps_sender_accounts) + list(receiver_eps_slice)
     if len(range_proofs) == 1:
         qq_verifier.verify_non_negative_sender_receiver_bulletproof_batch_verifier(
-            bp_epsilon_vec, range_proofs[0])
+            bp_epsilon_vec, range_proofs[0], defer=defer)
     else:
         qq_verifier.verify_non_negative_sender_receiver_bulletproof_vector_verifier(
-            bp_epsilon_vec, range_proofs)
+            bp_epsilon_vec, range_proofs, defer=defer)
 
     # Step 10: output shuffle + proof (continues the same transcript,
     # transaction.rs:704-709)
@@ -433,7 +437,8 @@ def create_transaction(
         ShuffleProof.create_shuffle_proof(qq_prover, output_shuffle, rng=rng)
     output_shuffle_proof.verify(qq_verifier, output_shuffle_statement,
                                 output_shuffle.get_inputs_vector(),
-                                output_accounts)
+                                output_accounts, defer=defer)
+    defer.verify(backend="host")
 
     # Step 11: assemble
     tx = Transaction(
