@@ -130,6 +130,37 @@ def test_batch_verify_transactions():
                                   backend="host", seed=b"w")
 
 
+def test_transaction_multi_sender_receiver():
+    """Two senders, two receivers: aggregated range proof over 4 values
+    (power-of-2 aggregation path, prover.rs:563-571)."""
+    r = rng(b"multitx")
+    senders, sks = [], []
+    for i in range(2):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        acc = Account.update_account(acc, 20 + i, r.random_scalar(),
+                                     r.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(r), r)
+        senders.append(Sender(total_amount=-(4 + i), account=acc,
+                              receivers=[Receiver(4 + i, rec_pk)]))
+        sks.append(sk)
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector(senders, rng=r)
+    assert sc == 2 and rc == 2 and diff == 5
+    tx, tx_proof = create_transaction(
+        values, accounts, sender_updated_balance=[20 - 4, 21 - 5],
+        sender_sk=sks, anonymity_comm_scalar=anon_scalars,
+        anonymity_account_diff=diff, receiver_updated_balance=[4, 5],
+        senders_count=sc, receivers_count=rc, rng=r)
+    assert len(tx_proof.range_proofs) == 1  # 4 values: one aggregated proof
+    verify_transaction(tx, tx_proof, backend="host")
+    # both senders can still decrypt their updated delta balances
+    tx.account_updated_delta_vector[0].verify_account(sks[0], 16)
+    tx.account_updated_delta_vector[1].verify_account(sks[1], 16)
+
+
 def test_transaction_64_account_anonymity_set():
     """BASELINE config 5 at transaction level: 64-account anonymity set."""
     r = rng(b"tx64")
