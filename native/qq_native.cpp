@@ -166,6 +166,35 @@ void strobe_key(uint8_t *ctx_bytes, const uint8_t *data, uint64_t n, int more) {
   overwrite(ctx, data, n);
 }
 
+// merlin Transcript::append_message applied to a batch of (label, message)
+// pairs packed as [u32 label_len][label][u32 msg_len][msg]... — one ctypes
+// crossing for a run of appends (allocate_point/allocate_account emit 2-5
+// messages each).
+void strobe_append_messages(uint8_t *ctx_bytes, const uint8_t *buf,
+                            uint64_t count) {
+  StrobeCtx *ctx = reinterpret_cast<StrobeCtx *>(ctx_bytes);
+  const uint8_t *p = buf;
+  for (uint64_t i = 0; i < count; i++) {
+    uint32_t ll;
+    std::memcpy(&ll, p, 4);
+    p += 4;
+    const uint8_t *label = p;
+    p += ll;
+    uint32_t ml;
+    std::memcpy(&ml, p, 4);
+    p += 4;
+    begin_op(ctx, FLAG_M | FLAG_A);
+    absorb(ctx, label, ll);
+    uint8_t le[4] = {(uint8_t)(ml & 0xff), (uint8_t)((ml >> 8) & 0xff),
+                     (uint8_t)((ml >> 16) & 0xff),
+                     (uint8_t)((ml >> 24) & 0xff)};
+    absorb(ctx, le, 4);
+    begin_op(ctx, FLAG_A);
+    absorb(ctx, p, ml);
+    p += ml;
+  }
+}
+
 // merlin TranscriptRngBuilder::rekey_with_witness_bytes applied to a batch
 // of fixed-size witnesses in one call: per witness it runs
 //   meta_ad(label, false); meta_ad(LE32(wlen), true); key(witness, false)

@@ -50,6 +50,16 @@ class Transcript:
         self.strobe.meta_ad(_u32le(len(message)), True)
         self.strobe.ad(message, False)
 
+    def append_messages(self, items) -> None:
+        """Run of append_message (label, message) pairs — one native call
+        when the C++ STROBE is loaded."""
+        am = getattr(self.strobe, "append_messages", None)
+        if am is not None:
+            am(items)
+        else:
+            for label, message in items:
+                self.append_message(label, message)
+
     def append_u64(self, label: bytes, x: int) -> None:
         self.append_message(label, struct.pack("<Q", x))
 
@@ -70,16 +80,14 @@ class Transcript:
         self.append_message(label, ex.sc_to_bytes(scalar))
 
     def append_point_var(self, label: bytes, point_bytes: bytes) -> None:
-        self.append_message(b"ptvar", label)
-        self.append_message(b"val", point_bytes)
+        self.append_messages([(b"ptvar", label), (b"val", point_bytes)])
 
     def append_account_var(self, label: bytes, account) -> None:
         """account exposes .pk.gr/.pk.grsk/.comm.c/.comm.d as 32-byte values."""
-        self.append_message(b"acvar", label)
-        self.append_message(b"gr", account.pk.gr)
-        self.append_message(b"grsk", account.pk.grsk)
-        self.append_message(b"commc", account.comm.c)
-        self.append_message(b"commd", account.comm.d)
+        self.append_messages([
+            (b"acvar", label), (b"gr", account.pk.gr),
+            (b"grsk", account.pk.grsk), (b"commc", account.comm.c),
+            (b"commd", account.comm.d)])
 
     def get_challenge(self, label: bytes) -> int:
         return ex.sc_from_bytes_mod_order_wide(self.challenge_bytes(label, 64))

@@ -35,6 +35,8 @@ if os.path.exists(_LIB_PATH):
             _lib.strobe_rekey_witnesses.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                 ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
+            _lib.strobe_append_messages.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64]
         except AttributeError:  # older library build
             pass
     except OSError:
@@ -87,6 +89,22 @@ class NativeStrobe128:
 
     def key(self, data: bytes, more: bool) -> None:
         _lib.strobe_key(self._buf(), bytes(data), len(data), int(more))
+
+    def append_messages(self, items) -> None:
+        """Batch of merlin append_message (label, message) pairs in one
+        native call."""
+        if hasattr(_lib, "strobe_append_messages"):
+            import struct as _struct
+            buf = b"".join(
+                _struct.pack("<I", len(l)) + l + _struct.pack("<I", len(m)) + m
+                for l, m in items)
+            _lib.strobe_append_messages(self._buf(), buf, len(items))
+        else:  # pragma: no cover - older library build
+            import struct as _struct
+            for l, m in items:
+                self.meta_ad(l, False)
+                self.meta_ad(_struct.pack("<I", len(m)), True)
+                self.ad(m, False)
 
     def rekey_witnesses(self, label: bytes, witnesses: bytes, wlen: int,
                         count: int) -> None:
