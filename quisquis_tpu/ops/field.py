@@ -354,16 +354,25 @@ pow_p58 = jax.jit(_pow_p58_raw)
 # canonicalization, comparison, serialization
 # ---------------------------------------------------------------------------
 
+def _carry_scan_body(carry, limb):
+    # module-level so jax's tracing cache keys on a stable function identity
+    # (a nested def is "re-defined repeatedly", forcing re-traces)
+    v = limb + carry
+    return v >> BITS, jnp.bitwise_and(v, MASK)
+
+
 def _scan_carry(x: jnp.ndarray):
     """Exact sequential carry; returns (digits [...,24] in [0,2^11), carry)."""
-    def body(carry, limb):
-        v = limb + carry
-        return v >> BITS, jnp.bitwise_and(v, MASK)
-
     # init carry derived from x so sharding/varying axes match the body output
     carry, digits = jax.lax.scan(
-        body, x[..., 0] * 0, jnp.moveaxis(x, -1, 0))
+        _carry_scan_body, x[..., 0] * 0, jnp.moveaxis(x, -1, 0))
     return jnp.moveaxis(digits, 0, -1), carry
+
+
+def _sub_scan_body(borrow, ab):
+    a, b = ab
+    v = a - b - borrow
+    return (v >> 31) & 1, jnp.bitwise_and(v, MASK)
 
 
 def _canonicalize_raw(x: jnp.ndarray) -> jnp.ndarray:
@@ -381,14 +390,9 @@ def _canonicalize_raw(x: jnp.ndarray) -> jnp.ndarray:
     # conditional subtract p (value < 2^255 => at most once)
     p_limbs = jnp.asarray(np.array(_P_LIMBS, dtype=np.int32))
 
-    def sub_body(borrow, ab):
-        a, b = ab
-        v = a - b - borrow
-        return (v >> 31) & 1, jnp.bitwise_and(v, MASK)
-
     pb = jnp.broadcast_to(
         p_limbs.reshape((NLIMBS,) + (1,) * (x.ndim - 1)), (NLIMBS,) + x.shape[:-1])
-    borrow, diff = jax.lax.scan(sub_body, x[..., 0] * 0,
+    borrow, diff = jax.lax.scan(_sub_scan_body, x[..., 0] * 0,
                                 (jnp.moveaxis(x, -1, 0), pb))
     diff = jnp.moveaxis(diff, 0, -1)
     return jnp.where((borrow == 0)[..., None], diff, x)
