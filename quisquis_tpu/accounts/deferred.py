@@ -91,6 +91,29 @@ class DeferredPointChecks:
         """Assert Σ scalars_i · points_i == rhs (deferred)."""
         self.check(list(scalars) + [L - 1], list(points) + [rhs], msg)
 
+    def derive(self, index: int) -> "DeferredPointChecks":
+        """A sub-accumulator with an independent weight stream.
+
+        Used to split a batch across worker threads: each worker collects
+        into its own accumulator (no shared mutable state), and the parts
+        are `merge`d into one MSM at the end. The sub-seed is derived from
+        this accumulator's seed, so the prover can predict it exactly when
+        they can predict the parent's (i.e. never, unless a test pins it).
+        """
+        return DeferredPointChecks(hashlib.sha512(
+            self._seed + b"derive" + index.to_bytes(8, "little")).digest()[:32])
+
+    def merge(self, other: "DeferredPointChecks") -> None:
+        """Fold another accumulator's terms into this one."""
+        acc, pts = self._acc, self._pts
+        for k, s in other._acc.items():
+            if k in acc:
+                acc[k] = (acc[k] + s) % L
+            else:
+                acc[k] = s
+                pts[k] = other._pts[k]
+        self.labels.extend(other.labels)
+
     @property
     def num_terms(self) -> int:
         return len(self._acc)

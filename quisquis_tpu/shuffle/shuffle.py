@@ -329,7 +329,7 @@ class ShuffleProof:
 
 
 def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
-                                mesh=None, seed=None) -> None:
+                                mesh=None, seed=None, workers=None) -> None:
     """Verify many shuffle proofs with ONE combined MSM (the TPU batch path).
 
     `entries`: iterable of (proof, verifier, statement, inputs, outputs).
@@ -343,13 +343,36 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
 
     The eager equivalent loops `proof.verify(...)` per proof
     (reference behavior, /root/reference/src/shuffle/shuffle.rs:547-712).
+
+    Per-proof replays run across `workers` threads (native curve calls
+    release the GIL); each thread fills a derived accumulator, merged into
+    the one final MSM.
     """
+    import os as _os
     from ..accounts.deferred import DeferredPointChecks
 
+    entries = list(entries)
     defer = DeferredPointChecks(seed)
-    for proof, verifier, statement, inputs, outputs in entries:
-        proof.verify(verifier, statement, inputs, outputs, xpc_gens,
-                     defer=defer)
+    if workers is None:
+        workers = min(len(entries), _os.cpu_count() or 1)
+    if workers > 1 and len(entries) > 1:
+        import concurrent.futures as _cf
+
+        subs = [defer.derive(i) for i in range(len(entries))]
+
+        def _one(i: int) -> None:
+            proof, verifier, statement, inputs, outputs = entries[i]
+            proof.verify(verifier, statement, inputs, outputs, xpc_gens,
+                         defer=subs[i])
+
+        with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_one, range(len(entries))))
+        for sub in subs:
+            defer.merge(sub)
+    else:
+        for proof, verifier, statement, inputs, outputs in entries:
+            proof.verify(verifier, statement, inputs, outputs, xpc_gens,
+                         defer=defer)
     defer.verify(backend=backend, mesh=mesh)
 
 

@@ -551,15 +551,41 @@ def verify_transaction(tx: Transaction, proof: TransactionProof,
 def batch_verify_transactions(items: Sequence[Tuple[Transaction,
                                                     TransactionProof]],
                               backend: str = "auto", mesh=None,
-                              seed: Optional[bytes] = None) -> None:
+                              seed: Optional[bytes] = None,
+                              workers: Optional[int] = None) -> None:
     """Verify many transactions with ONE combined MSM across every shuffle
     and range-proof check of every transaction (sigma transcripts replay
-    per transaction on the host)."""
+    per transaction on the host).
+
+    The per-transaction transcript replays are independent, and their
+    wall-clock is dominated by native curve calls that release the GIL, so
+    they run across `workers` threads (default: one per CPU, capped at the
+    batch size); each thread collects point checks into its own derived
+    accumulator, merged into the single final MSM.
+    """
+    import os as _os
     from ..accounts.deferred import DeferredPointChecks
 
     defer = DeferredPointChecks(seed)
-    for tx, proof in items:
-        verify_transaction(tx, proof, defer=defer)
+    if workers is None:
+        workers = min(len(items), _os.cpu_count() or 1)
+    if workers > 1 and len(items) > 1:
+        import concurrent.futures as _cf
+
+        subs = [defer.derive(i) for i in range(len(items))]
+
+        def _one(i: int) -> None:
+            tx, proof = items[i]
+            verify_transaction(tx, proof, defer=subs[i])
+
+        with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            # list() drains the iterator so worker exceptions propagate
+            list(pool.map(_one, range(len(items))))
+        for sub in subs:
+            defer.merge(sub)
+    else:
+        for tx, proof in items:
+            verify_transaction(tx, proof, defer=defer)
     defer.verify(backend=backend, mesh=mesh)
 
 

@@ -13,11 +13,12 @@ import ctypes
 import os
 from typing import Optional
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "libqq_native.so")
+from ._libpath import find_native_lib
+
+_LIB_PATH = find_native_lib()
 
 _lib: Optional[ctypes.CDLL] = None
-if os.path.exists(_LIB_PATH):
+if _LIB_PATH is not None:
     try:
         _lib = ctypes.CDLL(_LIB_PATH)
         _lib.keccak_f1600.argtypes = [ctypes.c_char_p]

@@ -13,8 +13,9 @@ import ctypes
 import os
 from typing import List, Optional, Tuple
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "libqq_native.so")
+from ._libpath import find_native_lib
+
+_LIB_PATH = find_native_lib()
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -23,7 +24,7 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _LIB_PATH is None:
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

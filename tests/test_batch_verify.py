@@ -127,3 +127,41 @@ def test_batch_verify_sharded_backend():
     batch_verify_shuffle_proofs(make_proofs(2, tag=b"shard"),
                                 backend="sharded", mesh=mesh,
                                 seed=b"weights")
+
+
+def test_deferred_derive_merge_matches_direct():
+    """Splitting checks across derived sub-accumulators and merging is
+    equivalent to collecting into one accumulator (same accept/reject)."""
+    G = ex.BASEPOINT
+    P = ex.pt_mul(11, G)
+    parent = DeferredPointChecks(seed=b"m")
+    subs = [parent.derive(i) for i in range(2)]
+    subs[0].check_eq([11], [G], P, "11G == P")
+    subs[1].check([4, (-4) % L], [G, G], "4G - 4G == 0")
+    for s in subs:
+        parent.merge(s)
+    assert parent.num_terms > 0
+    parent.verify(backend="host")
+
+    bad_parent = DeferredPointChecks(seed=b"m")
+    bad = bad_parent.derive(0)
+    bad.check_eq([12], [G], P, "12G == P must fail")
+    bad_parent.merge(bad)
+    with pytest.raises(ValueError, match="12G == P must fail"):
+        bad_parent.verify(backend="host")
+
+
+def test_batch_verify_threaded_workers():
+    batch_verify_shuffle_proofs(make_proofs(3, tag=b"thr"), backend="host",
+                                seed=b"weights", workers=3)
+
+
+def test_batch_verify_threaded_rejects_tampered():
+    entries = make_proofs(3, tag=b"thr-tamper")
+    proof, verifier, statement, inputs, outputs = entries[2]
+    outputs = list(outputs)
+    outputs[0], outputs[1] = outputs[1], outputs[0]
+    entries[2] = (proof, verifier, statement, inputs, outputs)
+    with pytest.raises(ValueError):
+        batch_verify_shuffle_proofs(entries, backend="host",
+                                    seed=b"weights", workers=3)
