@@ -344,17 +344,17 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
     The eager equivalent loops `proof.verify(...)` per proof
     (reference behavior, /root/reference/src/shuffle/shuffle.rs:547-712).
 
-    Per-proof replays run across `workers` threads (native curve calls
-    release the GIL); each thread fills a derived accumulator, merged into
-    the one final MSM.
+    `workers` > 1 runs per-proof replays across threads, each filling a
+    derived accumulator merged into the one final MSM. Default is serial:
+    replay time is GIL-bound Python, so threads don't pay (measured); for
+    multi-core scaling use worker processes (serving.VerificationService).
     """
-    import os as _os
     from ..accounts.deferred import DeferredPointChecks
 
     entries = list(entries)
     defer = DeferredPointChecks(seed)
     if workers is None:
-        workers = min(len(entries), _os.cpu_count() or 1)
+        workers = 1
     if workers > 1 and len(entries) > 1:
         import concurrent.futures as _cf
 

@@ -1,0 +1,58 @@
+"""Multi-process verification service (serving path).
+
+Covers: wire round-trip through worker processes, accept on valid batches,
+reject with chunk attribution on tampered wire bytes.
+"""
+
+import pytest
+
+from quisquis_tpu.accounts.transcript import SeededRng
+from quisquis_tpu.primitives.keys import RistrettoPublicKey, RistrettoSecretKey
+from quisquis_tpu.accounts.accounts import Account
+from quisquis_tpu.transaction.transaction import (
+    Sender, Receiver, create_transaction, generate_value_and_account_vector)
+from quisquis_tpu.serving import VerificationService, serialize_transaction
+
+
+def make_items(count: int, tag: bytes):
+    rng = SeededRng(seed=tag)
+    items = []
+    for i in range(count):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        acc = Account.update_account(acc, 10 + i, rng.random_scalar(),
+                                     rng.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(rng), rng)
+        sender = Sender(total_amount=-5, account=acc,
+                        receivers=[Receiver(5, rec_pk)])
+        values, accounts, anon, diff, sc, rc = \
+            generate_value_and_account_vector([sender], rng=rng)
+        items.append(create_transaction(
+            values, accounts, sender_updated_balance=[10 + i - 5],
+            sender_sk=[sk], anonymity_comm_scalar=anon,
+            anonymity_account_diff=diff, receiver_updated_balance=[5],
+            senders_count=sc, receivers_count=rc, rng=rng))
+    return items
+
+
+def test_service_accepts_and_rejects():
+    items = make_items(4, b"serving-test")
+    pairs = [serialize_transaction(tx, pf) for tx, pf in items]
+    with VerificationService(workers=2, seed=b"svc") as svc:
+        assert svc.verify_wire(pairs) == 4
+        assert svc.verify(items) == 4
+        assert svc.verify_wire([]) == 0
+
+        # flip one byte of one proof: exactly that chunk must fail
+        blob = bytearray(pairs[2][1])
+        blob[40] ^= 1
+        bad = list(pairs)
+        bad[2] = (bad[2][0], bytes(blob))
+        with pytest.raises(ValueError, match="chunk"):
+            svc.verify_wire(bad)
+
+        # truncated wire bytes are a deserialization error, not a crash
+        with pytest.raises(ValueError, match="chunk"):
+            svc.verify_wire([(pairs[0][0], pairs[0][1][:100])])
