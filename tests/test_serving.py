@@ -56,3 +56,27 @@ def test_service_accepts_and_rejects():
         # truncated wire bytes are a deserialization error, not a crash
         with pytest.raises(ValueError, match="chunk"):
             svc.verify_wire([(pairs[0][0], pairs[0][1][:100])])
+
+
+def test_proving_service_builds_verifiable_transactions():
+    from quisquis_tpu.serving import ProvingService, BuildRequest
+
+    rng = SeededRng(seed=b"serving-prove")
+    reqs = []
+    for i in range(3):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        acc = Account.update_account(acc, 10 + i, rng.random_scalar(),
+                                     rng.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(rng), rng)
+        reqs.append(BuildRequest(acc.as_bytes(), sk.as_bytes(), amount=5,
+                                 receiver_pk=rec_pk.as_bytes(),
+                                 sender_updated_balance=10 + i - 5))
+    with ProvingService(workers=2, seed=b"pp") as pp:
+        pairs = pp.build(reqs)
+        assert pp.build([]) == []
+    assert len(pairs) == 3
+    with VerificationService(workers=2, seed=b"vv") as svc:
+        assert svc.verify_wire(pairs) == 3
