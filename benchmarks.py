@@ -311,6 +311,47 @@ def config6_transaction_serving(batch=8):
            f"batch={batch}, one combined MSM, {best*1e3:.0f} ms total")
 
 
+def config6d_serving_processes(batch=16):
+    """Multi-process serving: ProvingService builds wire transactions across
+    worker processes; VerificationService verifies them (serving.py)."""
+    from quisquis_tpu.accounts.transcript import SeededRng
+    from quisquis_tpu.primitives.keys import (RistrettoSecretKey,
+                                              RistrettoPublicKey)
+    from quisquis_tpu.accounts.accounts import Account
+    from quisquis_tpu.serving import (VerificationService, ProvingService,
+                                      BuildRequest)
+
+    r = SeededRng(seed=b"bench6d")
+    reqs = []
+    for i in range(batch):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        acc = Account.update_account(acc, 10 + i, r.random_scalar(),
+                                     r.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(r), r)
+        reqs.append(BuildRequest(acc.as_bytes(), sk.as_bytes(), 5,
+                                 rec_pk.as_bytes(), 10 + i - 5))
+    workers = os.cpu_count() or 1
+    with ProvingService(workers=workers, seed=b"pp") as pp:
+        pp.build(reqs[:2])  # warm the pool
+        t0 = time.perf_counter()
+        pairs = pp.build(reqs)
+        t_build = time.perf_counter() - t0
+    with VerificationService(workers=workers, seed=b"vv") as svc:
+        svc.verify_wire(pairs[:2])  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            svc.verify_wire(pairs)
+            best = min(best, time.perf_counter() - t0)
+    record("6c: multi-process verification service", batch / best, "tx/s",
+           f"batch={batch}, {workers} worker processes, wire ingest")
+    record("6d: multi-process proving service", batch / t_build, "tx/s",
+           f"batch={batch}, {workers} worker processes, wire output")
+
+
 def config_scaling_efficiency(log_n=14):
     """Sharded-MSM scaling efficiency across mesh sizes (BASELINE target:
     >=0.85 at 2 hosts on batched shuffle-proof verification, whose device
@@ -380,6 +421,7 @@ def main():
     config5_shuffle_64()
     config5c_batch_shuffle_verify()
     config6_transaction_serving()
+    config6d_serving_processes()
     with open("BENCHMARKS.md", "w") as f:
         f.write(f"# Benchmark results\n\ndevice: `{dev}`\n\n")
         f.write("| config | value | unit | detail |\n|---|---|---|---|\n")

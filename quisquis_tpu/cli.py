@@ -138,10 +138,55 @@ def batch_demo(count: int = 4) -> None:
           f"{dt*1e3/count:.1f} ms/tx, one combined MSM)")
 
 
+def serve_demo(count: int = 16) -> None:
+    """Production serving path: multi-process proving + verification
+    services over the wire format (serving.py)."""
+    import os
+    import time
+    from .serving import VerificationService, ProvingService, BuildRequest
+
+    rng = SeededRng(seed=b"cli-serve-demo")
+    workers = os.cpu_count() or 1
+    print(f"== quisquis_tpu serving demo ({count} transactions, "
+          f"{workers} worker processes) ==")
+    reqs = []
+    for i in range(count):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        acc = Account.update_account(acc, 10 + i, rng.random_scalar(),
+                                     rng.random_scalar())
+        rec_pk = RistrettoPublicKey.from_secret_key(
+            RistrettoSecretKey.random(rng), rng)
+        reqs.append(BuildRequest(acc.as_bytes(), sk.as_bytes(), 5,
+                                 rec_pk.as_bytes(), 10 + i - 5))
+    with ProvingService(workers=workers, seed=b"pp") as pp:
+        pp.build(reqs[:1])
+        t0 = time.perf_counter()
+        pairs = pp.build(reqs)
+        dt = time.perf_counter() - t0
+        print(f"proving service            : built {len(pairs)} wire tx in "
+              f"{dt*1e3:.0f} ms ({count/dt:.1f} tx/s)")
+    wire_kb = sum(len(a) + len(b) for a, b in pairs) / 1024
+    print(f"wire size                  : {wire_kb:.1f} KiB total "
+          f"({wire_kb/count:.1f} KiB/tx)")
+    with VerificationService(workers=workers, seed=b"vv") as svc:
+        svc.verify_wire(pairs[:1])
+        t0 = time.perf_counter()
+        n = svc.verify_wire(pairs)
+        dt = time.perf_counter() - t0
+        print(f"verification service       : OK, {n} tx in {dt*1e3:.0f} ms "
+              f"({n/dt:.1f} tx/s)")
+
+
 if __name__ == "__main__":
     import sys as _sys
 
-    if "--batch" in _sys.argv:
+    if "--serve" in _sys.argv:
+        idx = _sys.argv.index("--serve")
+        n = int(_sys.argv[idx + 1]) if len(_sys.argv) > idx + 1 else 16
+        serve_demo(n)
+    elif "--batch" in _sys.argv:
         idx = _sys.argv.index("--batch")
         n = int(_sys.argv[idx + 1]) if len(_sys.argv) > idx + 1 else 4
         batch_demo(n)
