@@ -62,19 +62,40 @@ def main() -> None:
             return f
         return jax.jit(pt.base_mul_raw)
 
-    f = make_fn(os.environ.get("QQ_BENCH_IMPL", "pallas"))
+    impl = os.environ.get("QQ_BENCH_IMPL", "pallas")
+    f = make_fn(impl)
 
     def sync(out):
         np.asarray(out.x[0, 0])
 
     # smoke-check the chosen implementation; fall back to the XLA path if the
-    # Pallas kernel cannot compile on this device
+    # Pallas kernel cannot compile on this device — and SAY SO in the output
+    # (the driver's headline number must never silently change meaning)
+    probe_nib = jnp.asarray(rng.integers(0, 16, (256, 64), dtype=np.int32))
     try:
-        probe_nib = jnp.asarray(rng.integers(0, 16, (256, 64), dtype=np.int32))
         probe = f(probe_nib)
         sync(probe)
     except Exception:
-        f = make_fn("xla")
+        impl = "xla"
+        f = make_fn(impl)
+        probe = f(probe_nib)
+        sync(probe)
+
+    # correctness gate: the first rows of the probe batch must match the
+    # exact host backend bit-for-bit (ristretto encodings compared)
+    from quisquis_tpu.ops import exact as ex
+
+    ncheck = 4
+    got = np.asarray(pt.compress_to_bytes(
+        pt.ExtPoint(probe.x[:ncheck], probe.y[:ncheck],
+                    probe.z[:ncheck], probe.t[:ncheck])))
+    probe_rows = np.asarray(probe_nib[:ncheck])
+    correct = True
+    for i in range(ncheck):
+        s = sum(int(d) << (4 * j) for j, d in enumerate(probe_rows[i])) % ex.L
+        want = ex.ristretto_encode(ex.pt_base_mul(s))
+        if bytes(got[i]) != want:
+            correct = False
 
     # interleave small/large reps so machine-load drift hits both sizes,
     # then take the MEDIAN of per-rep slopes: taking min() per size
@@ -99,6 +120,8 @@ def main() -> None:
         "value": round(per_sec, 1),
         "unit": "scalar_muls/s",
         "vs_baseline": round(per_sec / target, 4),
+        "impl": impl,
+        "correct": correct,
     }))
 
 

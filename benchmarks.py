@@ -263,6 +263,54 @@ def config5c_batch_shuffle_verify(batch=16, n=64):
            f"{batch/dt_dev:.1f}/s (auto picks by term count)")
 
 
+def config5d_shuffle_serving(batch=16, n=64):
+    """Process-pool shuffle verification (serving.ShuffleVerificationService):
+    workers replay the GIL-bound transcripts in parallel, the parent folds
+    every weighted point check into ONE MSM — on the TPU vs on the host
+    (VERDICT r1 item 4: push 5c from ~50 to >=150 proofs/s)."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+    from quisquis_tpu.primitives.keys import (RistrettoSecretKey,
+                                              RistrettoPublicKey)
+    from quisquis_tpu.accounts.accounts import Account
+    from quisquis_tpu.serving import ShuffleVerificationService
+    from quisquis_tpu.utils import serde
+
+    r = SeededRng(seed=b"bench5d")
+    accounts = []
+    for _ in range(n):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        accounts.append(acc)
+    blobs = []
+    for _ in range(batch):
+        sh = Shuffle.input_shuffle(accounts, rng=r)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=r)
+        proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+        blobs.append(serde.shuffle_entry_to_bytes(
+            proof, statement, sh.get_inputs_vector(), sh.get_outputs_vector()))
+
+    workers = os.cpu_count() or 1
+    rates = {}
+    for backend in ("device", "merged-host"):
+        with ShuffleVerificationService(workers=workers, seed=b"svc",
+                                        backend=backend) as svc:
+            svc.verify_wire(blobs[:2])  # warm pool (+ device MSM compile)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                svc.verify_wire(blobs)
+                best = min(best, time.perf_counter() - t0)
+            rates[backend] = batch / best
+    best_rate = max(rates.values())
+    record("5d: shuffle verification service (pooled replay, one MSM)",
+           round(best_rate, 1), "proofs/s",
+           f"batch={batch}, {workers} workers; final MSM on device "
+           f"{rates['device']:.1f}/s vs host {rates['merged-host']:.1f}/s")
+
+
 def config6_transaction_serving(batch=8):
     """Serving path: build `batch` full 9-account transactions, then verify
     them all with one combined MSM (no BASELINE analog — the reference's
@@ -339,15 +387,23 @@ def config6d_serving_processes(batch=16):
         t0 = time.perf_counter()
         pairs = pp.build(reqs)
         t_build = time.perf_counter() - t0
-    with VerificationService(workers=workers, seed=b"vv") as svc:
-        svc.verify_wire(pairs[:2])  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            svc.verify_wire(pairs)
-            best = min(best, time.perf_counter() - t0)
-    record("6c: multi-process verification service", batch / best, "tx/s",
-           f"batch={batch}, {workers} worker processes, wire ingest")
+    rates = {}
+    for backend in ("host", "device", "merged-host"):
+        with VerificationService(workers=workers, seed=b"vv",
+                                 backend=backend) as svc:
+            svc.verify_wire(pairs[:2])  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                svc.verify_wire(pairs)
+                best = min(best, time.perf_counter() - t0)
+            rates[backend] = batch / best
+    record("6c: multi-process verification service",
+           round(max(rates.values()), 1), "tx/s",
+           f"batch={batch}, {workers} workers; per-chunk host MSMs "
+           f"{rates['host']:.1f}/s, merged MSM on device "
+           f"{rates['device']:.1f}/s, merged on host "
+           f"{rates['merged-host']:.1f}/s")
     record("6d: multi-process proving service", batch / t_build, "tx/s",
            f"batch={batch}, {workers} worker processes, wire output")
 
@@ -420,6 +476,7 @@ def main():
     config4c_batch_verify()
     config5_shuffle_64()
     config5c_batch_shuffle_verify()
+    config5d_shuffle_serving()
     config6_transaction_serving()
     config6d_serving_processes()
     with open("BENCHMARKS.md", "w") as f:

@@ -25,11 +25,25 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 from ..ops import exact as ex
 
 L = ex.L
+
+
+def _pt_wire(p: ex.Point) -> bytes:
+    """128-byte extended-point wire form (4 x 32-byte LE coordinates).
+
+    Points produced by the native backend carry a cached `.wire`; pure
+    tuples serialize their (already reduced mod p) coordinates.
+    """
+    w = getattr(p, "wire", None)
+    if w is not None:
+        return w
+    x, y, z, t = p
+    return (x.to_bytes(32, "little") + y.to_bytes(32, "little")
+            + z.to_bytes(32, "little") + t.to_bytes(32, "little"))
 
 
 def assert_identity(defer: Optional["DeferredPointChecks"],
@@ -61,6 +75,10 @@ class DeferredPointChecks:
         # unmerged).
         self._acc: dict = {}   # id(point) -> accumulated scalar mod L
         self._pts: dict = {}   # id(point) -> point
+        # pre-weighted terms absorbed from other processes in wire form
+        # (32-byte scalars ++ 128-byte extended points); they join the final
+        # MSM as-is — their weights were already applied by the exporter
+        self._wire: List[Tuple[bytes, bytes]] = []
         self.labels: List[str] = []
 
     def _weight(self) -> int:
@@ -112,15 +130,66 @@ class DeferredPointChecks:
             else:
                 acc[k] = s
                 pts[k] = other._pts[k]
+        self._wire.extend(other._wire)
         self.labels.extend(other.labels)
+
+    def export_wire(self) -> Tuple[bytes, bytes, List[str]]:
+        """Serialize the accumulated (already weighted) terms for transport
+        across a process boundary: (32-byte scalars, 128-byte points, labels).
+
+        The random weights are already folded into the scalars, so the
+        importer only needs Σ(all terms of all exporters) == identity —
+        each check carried an independent unpredictable weight, which is
+        the same soundness statement as a single shared accumulator.
+        """
+        scalars, points = self._terms()
+        sbuf = b"".join(s.to_bytes(32, "little") for s in scalars)
+        pbuf = b"".join(_pt_wire(p) for p in points)
+        for sb, pb in self._wire:
+            sbuf += sb
+            pbuf += pb
+        return sbuf, pbuf, list(self.labels)
+
+    def absorb_wire(self, sbuf: bytes, pbuf: bytes,
+                    labels: Sequence[str]) -> None:
+        """Fold terms exported by `export_wire` (e.g. from a worker process)
+        into this accumulator's final MSM."""
+        if len(sbuf) % 32 or len(pbuf) % 128 or len(sbuf) // 32 != len(pbuf) // 128:
+            raise ValueError("absorb_wire: malformed term buffers")
+        self._wire.append((bytes(sbuf), bytes(pbuf)))
+        self.labels.extend(labels)
 
     @property
     def num_terms(self) -> int:
-        return len(self._acc)
+        return len(self._acc) + sum(len(s) // 32 for s, _ in self._wire)
 
     def _terms(self):
         items = [(s, self._pts[k]) for k, s in self._acc.items() if s != 0]
         return [s for s, _ in items], [p for _, p in items]
+
+    def _all_terms(self):
+        """(scalars, points) including wire-absorbed terms (host backends)."""
+        scalars, points = self._terms()
+        for sbuf, pbuf in self._wire:
+            for i in range(len(sbuf) // 32):
+                scalars.append(int.from_bytes(sbuf[32 * i:32 * i + 32],
+                                              "little"))
+                points.append(self._decode_wire_point(
+                    pbuf[128 * i:128 * i + 128]))
+        return scalars, points
+
+    @staticmethod
+    def _decode_wire_point(b: bytes) -> ex.Point:
+        return (int.from_bytes(b[0:32], "little"),
+                int.from_bytes(b[32:64], "little"),
+                int.from_bytes(b[64:96], "little"),
+                int.from_bytes(b[96:128], "little"))
+
+    def _terms_wire(self) -> Tuple[bytes, bytes]:
+        """All terms as concatenated wire buffers (device fast path: no
+        bigint -> limb conversion, just byte reshapes into SoA tensors)."""
+        sbuf, pbuf, _ = self.export_wire()
+        return sbuf, pbuf
 
     def verify(self, backend: str = "auto", mesh=None) -> None:
         """Evaluate the combined MSM; raise ValueError if non-identity.
@@ -129,20 +198,23 @@ class DeferredPointChecks:
         MSM on the default JAX device), "sharded" (point axis sharded over
         `mesh`), or "auto" (host for small term counts, device otherwise).
         """
-        scalars, points = self._terms()
-        if not scalars:
+        if self.num_terms == 0:
             return
         if backend == "auto":
             # the threaded native host Pippenger wins until the MSM is
             # large enough to amortize device transfer + dispatch (the
             # bench TPU sits behind a ~60 ms tunnel; measured crossover
             # is in the tens of thousands of terms)
-            backend = "device" if len(scalars) >= 32768 else "host"
+            backend = "device" if self.num_terms >= 32768 else "host"
+        if backend == "device":
+            if self._verify_device_wire():
+                return
+            raise ValueError(
+                "Batched point-check verification failed; one of: "
+                + "; ".join(sorted(set(self.labels))))
+        scalars, points = self._all_terms()
         if backend == "host":
             total = ex.pt_msm(scalars, points)
-        elif backend == "device":
-            from ..ops import msm as qmsm
-            total = qmsm.msm_host(scalars, points)
         elif backend == "sharded":
             if mesh is None:
                 raise ValueError("sharded backend requires a mesh")
@@ -164,3 +236,39 @@ class DeferredPointChecks:
             raise ValueError(
                 "Batched point-check verification failed; one of: "
                 + "; ".join(sorted(set(self.labels))))
+
+    def _verify_device_wire(self) -> bool:
+        """Device MSM straight from wire buffers.
+
+        Conversion is pure numpy byte-shuffling (no Python bigints): scalars
+        reshape to nibble digits, point coordinates to int32 limb tensors;
+        the identity check runs on-device and only one boolean comes back.
+        """
+        import numpy as np
+        import jax.numpy as jnp
+        from ..ops import field as fe
+        from ..ops import point as pt
+        from ..ops import msm as qmsm
+
+        sbuf, pbuf = self._terms_wire()
+        n = len(sbuf) // 32
+        if n == 0:
+            return True
+        # pad to the next power of two (zero scalars on identity points):
+        # term counts vary per request, and XLA compiles one kernel per
+        # static shape — padding buckets the shapes so a serving process
+        # reuses ~log2(range) compiled kernels instead of one per count
+        npad = 1 << (n - 1).bit_length()
+        nib = np.zeros((npad, 64), dtype=np.int32)
+        nib[:n] = pt.scalar_to_nibbles(
+            np.frombuffer(sbuf, np.uint8).reshape(n, 32))
+        wire = np.frombuffer(pbuf, np.uint8).reshape(n, 4, 32)
+        coords = []
+        for i in range(4):
+            c = np.zeros((npad, fe.NLIMBS), dtype=np.int32)
+            if i in (1, 2):   # identity = (0, 1, 1, 0)
+                c[n:, 0] = 1
+            c[:n] = fe.from_bytes(wire[:, i, :])
+            coords.append(jnp.asarray(c))
+        out = qmsm.msm(jnp.asarray(nib), pt.ExtPoint(*coords))
+        return bool(pt.is_identity(out))

@@ -26,9 +26,30 @@ from __future__ import annotations
 
 import concurrent.futures as _cf
 import hashlib
+import itertools
 import multiprocessing as _mp
 import os
+import sys
 from typing import List, Optional, Sequence, Tuple
+
+
+def _pool_context():
+    """Start-method selection for worker pools.
+
+    `fork` is preferred when safe: workers inherit the already-loaded
+    native library and generator caches instead of re-importing (~1 s per
+    worker). Fork safety depends on locks held by *parent* threads at fork
+    time; the JAX/XLA runtime spawns such threads. Workers themselves never
+    touch JAX, so the only hazard is a JAX-initialized parent — in that
+    case fall back to `forkserver` (fork from a clean server process) and
+    pay the per-worker import cost once per pool.
+    """
+    methods = _mp.get_all_start_methods()
+    if "jax" not in sys.modules and "fork" in methods:
+        return _mp.get_context("fork")
+    if "forkserver" in methods:
+        return _mp.get_context("forkserver")
+    return _mp.get_context("spawn")
 
 WirePair = Tuple[bytes, bytes]  # (transaction bytes, proof bytes)
 
@@ -57,7 +78,126 @@ def _verify_chunk(pairs: List[WirePair], seed: bytes) -> int:
     return len(items)
 
 
-class VerificationService:
+def _collect_tx_chunk(pairs: List[WirePair], seed: bytes):
+    """Worker entry (collect mode): replay transcripts for a chunk of wire
+    transactions, but DON'T evaluate the final MSM — export the weighted
+    point-identity terms so the parent can fold every chunk into ONE MSM
+    (evaluated on the TPU, where one large MSM beats W medium ones).
+
+    Eager sigma checks (first-message recomputations that feed the
+    transcript) still run here; only the deferred heavy checks export.
+    """
+    from .utils import serde
+    from .transaction.transaction import verify_transaction
+    from .accounts.deferred import DeferredPointChecks
+
+    defer = DeferredPointChecks(seed)
+    for txb, pfb in pairs:
+        verify_transaction(serde.transaction_from_bytes(txb),
+                           serde.transaction_proof_from_bytes(pfb),
+                           defer=defer)
+    return defer.export_wire()
+
+
+def _collect_shuffle_chunk(blobs: List[bytes], seed: bytes,
+                           proof_label: bytes, transcript_label: bytes):
+    """Worker entry (collect mode) for standalone shuffle proofs."""
+    from .utils import serde
+    from .accounts.transcript import Transcript
+    from .accounts.verifier import Verifier
+    from .accounts.deferred import DeferredPointChecks
+
+    defer = DeferredPointChecks(seed)
+    for blob in blobs:
+        proof, statement, inputs, outputs = serde.shuffle_entry_from_bytes(blob)
+        verifier = Verifier(proof_label, Transcript(transcript_label))
+        proof.verify(verifier, statement, inputs, outputs, defer=defer)
+    return defer.export_wire()
+
+
+class _PoolService:
+    """Shared machinery: worker pool, per-request weight seeds, and the
+    collect-and-merge verification drive."""
+
+    def __init__(self, workers: Optional[int] = None,
+                 seed: Optional[bytes] = None, backend: str = "host"):
+        if backend not in ("host", "device", "merged-host"):
+            raise ValueError(f"unknown serving backend {backend!r}")
+        self.workers = workers or (os.cpu_count() or 1)
+        self.backend = backend
+        # `seed` pins the weight streams for tests only; a production
+        # verifier must leave it None so weights stay unpredictable
+        self._seed = bytes(seed) if seed is not None else None
+        self._request_ctr = itertools.count()
+        self._pool = _cf.ProcessPoolExecutor(max_workers=self.workers,
+                                             mp_context=_pool_context())
+
+    def _chunk_seed(self, index: int) -> bytes:
+        """Weight-stream seed for one chunk of one request.
+
+        The random-linear-combination soundness argument (accounts.deferred)
+        assumes verification weights are drawn fresh per verification; a
+        long-lived service must therefore never replay a weight stream
+        across requests. Every call mixes a monotone request counter and —
+        unless a test pinned the seed — fresh OS entropy.
+        """
+        request = next(self._request_ctr)
+        base = self._seed if self._seed is not None else os.urandom(32)
+        return hashlib.sha512(base + b"chunk"
+                              + request.to_bytes(8, "little")
+                              + index.to_bytes(8, "little")).digest()[:32]
+
+    def _drive(self, worker_fn, chunks, extra_args=()) -> int:
+        """Submit chunks; either count successes (host mode, workers verify
+        their own MSM) or absorb exported terms and evaluate ONE MSM here
+        (device / merged-host modes)."""
+        collect = self.backend != "host"
+        futures = [self._pool.submit(worker_fn, c, self._chunk_seed(i),
+                                     *extra_args)
+                   for i, c in enumerate(chunks)]
+        total = 0
+        defer = None
+        if collect:
+            from .accounts.deferred import DeferredPointChecks
+
+            # absorb-only accumulator: every imported term already carries
+            # its own unpredictable weight from the worker's stream
+            defer = DeferredPointChecks(b"\x00" * 32)
+        first_invalid = None   # ValueError: a proof failed to verify
+        first_broken = None    # anything else: crashed worker, hostile blob
+        for i, (f, chunk) in enumerate(zip(futures, chunks)):
+            try:
+                if collect:
+                    sbuf, pbuf, labels = f.result()
+                    defer.absorb_wire(sbuf, pbuf, labels)
+                    total += len(chunk)
+                else:
+                    total += f.result()
+            except ValueError as e:
+                first_invalid = first_invalid or ValueError(f"chunk {i}: {e}")
+            except Exception as e:  # noqa: BLE001 - attribute, drain, re-raise
+                first_broken = first_broken or RuntimeError(
+                    f"chunk {i}: {type(e).__name__}: {e}")
+        if first_invalid is not None:
+            raise first_invalid
+        if first_broken is not None:
+            raise first_broken
+        if collect:
+            defer.verify(
+                backend="device" if self.backend == "device" else "host")
+        return total
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class VerificationService(_PoolService):
     """Persistent process pool verifying wire-format transactions.
 
     Usage::
@@ -67,26 +207,20 @@ class VerificationService:
         svc.verify(items)               # [(Transaction, TransactionProof)]
         svc.close()                     # or use as a context manager
 
+    `backend` selects where the heavy point checks evaluate:
+      - "host": each worker verifies its chunk end-to-end (one native
+        host MSM per chunk).
+      - "device": workers replay transcripts and export their weighted
+        point-identity terms; the parent folds every chunk into ONE MSM
+        on the TPU (the serving shape the device is built for).
+      - "merged-host": like "device" but the single merged MSM runs on
+        the host native backend (for apples-to-apples comparison).
+
     Accepts everything or raises ValueError naming the failing chunk; the
     soundness argument is the same random-linear-combination MSM batching
-    as batch_verify_transactions, with an independent weight seed per chunk.
+    as batch_verify_transactions, with an independent weight seed per chunk
+    and per request.
     """
-
-    def __init__(self, workers: Optional[int] = None,
-                 seed: Optional[bytes] = None):
-        self.workers = workers or (os.cpu_count() or 1)
-        self._seed = os.urandom(32) if seed is None else bytes(seed)
-        # fork: workers inherit the already-loaded native library and
-        # generator caches instead of re-importing (~1s saved per worker);
-        # host verification never touches JAX/TPU state, so forking is safe
-        ctx = _mp.get_context("fork" if "fork" in _mp.get_all_start_methods()
-                              else "spawn")
-        self._pool = _cf.ProcessPoolExecutor(max_workers=self.workers,
-                                             mp_context=ctx)
-
-    def _chunk_seed(self, index: int) -> bytes:
-        return hashlib.sha512(self._seed + b"chunk"
-                              + index.to_bytes(8, "little")).digest()[:32]
 
     def verify_wire(self, pairs: Sequence[WirePair]) -> int:
         """Verify wire-format transactions across the pool; returns count."""
@@ -95,32 +229,51 @@ class VerificationService:
             return 0
         nchunks = min(self.workers, len(pairs))
         chunks = [pairs[i::nchunks] for i in range(nchunks)]
-        futures = [self._pool.submit(_verify_chunk, c, self._chunk_seed(i))
-                   for i, c in enumerate(chunks)]
-        total = 0
-        err = None
-        for i, f in enumerate(futures):
-            try:
-                total += f.result()
-            except ValueError as e:
-                err = err or ValueError(f"chunk {i}: {e}")
-        if err is not None:
-            raise err
-        return total
+        worker = _verify_chunk if self.backend == "host" else _collect_tx_chunk
+        return self._drive(worker, chunks)
 
     def verify(self, items) -> int:
         """Verify in-memory (Transaction, TransactionProof) pairs."""
         return self.verify_wire([serialize_transaction(tx, pf)
                                  for tx, pf in items])
 
-    def close(self) -> None:
-        self._pool.shutdown(wait=False, cancel_futures=True)
 
-    def __enter__(self) -> "VerificationService":
-        return self
+class ShuffleVerificationService(_PoolService):
+    """Process-pool verification of standalone shuffle proofs (config 5c
+    serving twin): workers replay the GIL-bound transcript schedule in
+    parallel and the merged point checks ride one MSM (TPU by default).
 
-    def __exit__(self, *exc) -> None:
-        self.close()
+    Wire items come from `utils.serde.shuffle_entry_to_bytes`, or pass
+    in-memory (proof, statement, inputs, outputs) tuples to `verify`.
+    """
+
+    def __init__(self, workers: Optional[int] = None,
+                 seed: Optional[bytes] = None, backend: str = "device",
+                 proof_label: bytes = b"Shuffle",
+                 transcript_label: bytes = b"ShuffleProof"):
+        super().__init__(workers, seed, backend)
+        if backend == "host":
+            raise ValueError(
+                "ShuffleVerificationService is collect-mode only; "
+                "use backend='merged-host' for a host-side final MSM")
+        self.proof_label = bytes(proof_label)
+        self.transcript_label = bytes(transcript_label)
+
+    def verify_wire(self, blobs: Sequence[bytes]) -> int:
+        blobs = list(blobs)
+        if not blobs:
+            return 0
+        nchunks = min(self.workers, len(blobs))
+        chunks = [blobs[i::nchunks] for i in range(nchunks)]
+        return self._drive(_collect_shuffle_chunk, chunks,
+                           (self.proof_label, self.transcript_label))
+
+    def verify(self, entries) -> int:
+        """entries: (proof, statement, input accounts, output accounts)."""
+        from .utils import serde
+
+        return self.verify_wire([serde.shuffle_entry_to_bytes(*e)
+                                 for e in entries])
 
 
 class BuildRequest:
@@ -130,6 +283,13 @@ class BuildRequest:
     common single-sender/single-receiver transfer; the anonymity set is
     padded to `n` with fresh zero-balance accounts inside the worker
     (transaction.rs:103-164 semantics).
+
+    SECURITY NOTE: `sender_sk` carries the raw secret scalar. This request
+    format is an *intra-host* IPC payload between a wallet process and its
+    co-located proving pool — it is NOT a network protocol. Never send a
+    BuildRequest across a machine boundary; a remote proving service needs
+    a different design in which secrets stay client-side (e.g. the client
+    computes the sigma responses and delegates only the public MSM work).
     """
 
     __slots__ = ("sender_account", "sender_sk", "amount", "receiver_pk",
@@ -199,10 +359,8 @@ class ProvingService:
                  seed: Optional[bytes] = None):
         self.workers = workers or (os.cpu_count() or 1)
         self._seed = os.urandom(32) if seed is None else bytes(seed)
-        ctx = _mp.get_context("fork" if "fork" in _mp.get_all_start_methods()
-                              else "spawn")
         self._pool = _cf.ProcessPoolExecutor(max_workers=self.workers,
-                                             mp_context=ctx)
+                                             mp_context=_pool_context())
 
     def build(self, requests: Sequence[BuildRequest]) -> List[WirePair]:
         requests = list(requests)
@@ -237,4 +395,6 @@ from .utils.metrics import instrument as _instrument  # noqa: E402
 
 VerificationService.verify_wire = _instrument("serving.verify_wire")(
     VerificationService.verify_wire)
+ShuffleVerificationService.verify_wire = _instrument(
+    "serving.shuffle_verify_wire")(ShuffleVerificationService.verify_wire)
 ProvingService.build = _instrument("serving.build")(ProvingService.build)

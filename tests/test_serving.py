@@ -80,3 +80,67 @@ def test_proving_service_builds_verifiable_transactions():
     assert len(pairs) == 3
     with VerificationService(workers=2, seed=b"vv") as svc:
         assert svc.verify_wire(pairs) == 3
+
+
+def test_service_collect_backends():
+    """device / merged-host modes: workers export weighted terms, the parent
+    folds every chunk into ONE MSM (accounts.deferred.absorb_wire)."""
+    items = make_items(3, b"serving-collect")
+    pairs = [serialize_transaction(tx, pf) for tx, pf in items]
+    for backend in ("merged-host", "device"):
+        with VerificationService(workers=2, seed=b"svc",
+                                 backend=backend) as svc:
+            assert svc.verify_wire(pairs) == 3
+
+            # tamper with a *point identity* (an account byte): the sigma
+            # transcript replay still passes in the worker, so the failure
+            # must surface from the merged MSM in the parent
+            blob = bytearray(pairs[1][0])
+            blob[-7] ^= 1
+            bad = list(pairs)
+            bad[1] = (bytes(blob), bad[1][1])
+            with pytest.raises(ValueError):
+                svc.verify_wire(bad)
+
+
+def test_shuffle_verification_service():
+    from quisquis_tpu.accounts.transcript import Transcript
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+    from quisquis_tpu.serving import ShuffleVerificationService
+    from quisquis_tpu.utils import serde
+
+    rng = SeededRng(seed=b"serving-shuffle")
+    accounts = []
+    for _ in range(9):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        accounts.append(acc)
+
+    entries = []
+    for _ in range(3):
+        sh = Shuffle.input_shuffle(accounts, rng=rng)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=rng)
+        proof, statement = ShuffleProof.create_shuffle_proof(
+            prover, sh, rng=rng)
+        entries.append((proof, statement, sh.get_inputs_vector(),
+                        sh.get_outputs_vector()))
+
+    blobs = [serde.shuffle_entry_to_bytes(*e) for e in entries]
+    # wire roundtrip is lossless
+    p2, s2, in2, out2 = serde.shuffle_entry_from_bytes(blobs[0])
+    assert p2.c_A == entries[0][0].c_A
+    assert [a.as_bytes() for a in in2] == [a.as_bytes()
+                                           for a in entries[0][2]]
+
+    with ShuffleVerificationService(workers=2, seed=b"shsvc",
+                                    backend="merged-host") as svc:
+        assert svc.verify_wire(blobs) == 3
+        assert svc.verify(entries) == 3
+        assert svc.verify_wire([]) == 0
+
+        bad = bytearray(blobs[2])
+        bad[60] ^= 1
+        with pytest.raises(ValueError):
+            svc.verify_wire([blobs[0], blobs[1], bytes(bad)])
