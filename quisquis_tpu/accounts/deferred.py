@@ -213,6 +213,8 @@ class DeferredPointChecks:
                 "Batched point-check verification failed; one of: "
                 + "; ".join(sorted(set(self.labels))))
         scalars, points = self._all_terms()
+        if not scalars:
+            return  # every term coalesced away: vacuously identity
         if backend == "host":
             total = ex.pt_msm(scalars, points)
         elif backend == "sharded":

@@ -266,18 +266,21 @@ class Prover:
         """64-bit bulletproof range proofs: aggregated if len is a power of 2,
         else one proof per value (prover.rs:544-591)."""
         from ..bulletproofs.range_proof import RangeProof
+        from ..config import DEFAULT as _cfg
+        n_bits = _cfg.range_bits
         size = len(bl)
         power_of_2 = size & (size - 1) == 0
         self.new_domain_sep(b"AggregateBulletProof")
         proofs = []
         if power_of_2:
             proof, _ = RangeProof.prove_multiple(
-                self.transcript, list(bl), list(rscalar), 64, rng=self._rng)
+                self.transcript, list(bl), list(rscalar), n_bits,
+                rng=self._rng)
             proofs.append(proof)
         else:
             for b, r in zip(bl, rscalar):
                 proof, _ = RangeProof.prove_single(
-                    self.transcript, b, r, 64, rng=self._rng)
+                    self.transcript, b, r, n_bits, rng=self._rng)
                 proofs.append(proof)
         return proofs
 

@@ -23,6 +23,11 @@ from .prover import SigmaProof
 from .transcript import Transcript
 
 L = ex.L
+
+
+def _config():
+    from ..config import DEFAULT
+    return DEFAULT
 BASEPOINT_BYTES = ex.ristretto_encode(ex.BASEPOINT)
 
 
@@ -193,10 +198,12 @@ class Verifier:
         self.new_domain_sep(b"AggregateBulletProof")
         commitments = [acc.comm.d for acc in epsilon_account]
         if defer is None:
-            proof.verify_multiple(self.transcript, commitments, 64)
+            proof.verify_multiple(self.transcript, commitments,
+                                  _config().range_bits)
         else:
             type(proof).batch_verify([(proof, commitments, self.transcript)],
-                                     64, defer=defer)
+                                     _config().range_bits,
+                                     defer=defer)
 
     def verify_non_negative_sender_receiver_bulletproof_vector_verifier(
         self, epsilon_account: Sequence[Account], proof_vector: Sequence,
@@ -207,11 +214,13 @@ class Verifier:
         commitments = [acc.comm.d for acc in epsilon_account]
         if defer is None:
             for proof, com in zip(proof_vector, commitments):
-                proof.verify_single(self.transcript, com, 64)
+                proof.verify_single(self.transcript, com,
+                                    _config().range_bits)
         else:
             for proof, com in zip(proof_vector, commitments):
                 type(proof).batch_verify([(proof, [com], self.transcript)],
-                                         64, defer=defer)
+                                         _config().range_bits,
+                                     defer=defer)
 
     @staticmethod
     def verify_delta_identity_check(epsilon_accounts: Sequence[Account]) -> None:

@@ -22,8 +22,11 @@ class QuisQuisConfig:
     bp_party_capacity: int = 16
     #: r1cs generator capacity; reference: 512
     r1cs_gens_capacity: int = 512
-    #: Pallas kernel batch tile (lanes per grid step)
-    pallas_tile: int = 256
+    #: Pallas kernel batch tile (lanes per grid step) for the fixed/variable
+    #: base scalar-mul mega-kernels (autotuned on v5e)
+    pallas_tile: int = 512
+    #: Pallas MSM pipeline tile (autotuned on v5e: 128 beats 256/512 at 2^16)
+    msm_tile: int = 128
     #: device mesh axis name for sharding
     mesh_axis: str = "shard"
 

@@ -28,6 +28,16 @@ from . import point as pt
 from . import pallas_field as kf
 
 NL = fe.NLIMBS
+def _cfg_tile() -> int:
+    from ..config import DEFAULT
+    return DEFAULT.pallas_tile
+
+
+def _cfg_msm_tile() -> int:
+    from ..config import DEFAULT
+    return DEFAULT.msm_tile
+
+
 TILE = 512
 
 #: kernel constants input: rows [0:24] = subtraction bias, [24:48] = 2d limbs
@@ -249,9 +259,10 @@ def base_mul_lm(nibbles_lm: jnp.ndarray, tile: int = TILE,
     return out
 
 
-def base_mul_pallas(nibbles: jnp.ndarray, tile: int = TILE,
+def base_mul_pallas(nibbles: jnp.ndarray, tile: int = 0,
                     interpret: bool = False) -> pt.ExtPoint:
     """Fixed-base scalar-mul: 64 niels mixed additions, zero doublings."""
+    tile = tile or _cfg_tile()
     ox, oy, oz, ot = base_mul_lm(nibbles.T, tile=tile, interpret=interpret)
     return pt.ExtPoint(ox.T, oy.T, oz.T, ot.T)
 
@@ -415,7 +426,7 @@ def _msm_tail_kernel(consts_ref, wx_ref, wy_ref, wz_ref, wt_ref,
 
 @partial(jax.jit, static_argnames=("tile", "wgroup", "interpret"))
 def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
-               tile: int = MSM_TILE, wgroup: int = WGROUP,
+               tile: int = 0, wgroup: int = WGROUP,
                interpret: bool = False) -> pt.ExtPoint:
     """Full MSM: batch [B, 64] digits + ExtPoint batch [B] -> single point.
 
@@ -424,6 +435,7 @@ def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
     tables -> window accumulation -> Horner/lane-reduce tail), keeping the
     whole pipeline on device with no per-point-op dispatch overhead.
     """
+    tile = tile or _cfg_msm_tile()
     B = nibbles.shape[0]
     pad = (-B) % tile
     if pad:

@@ -23,10 +23,14 @@ from ..ops import field as fe
 from ..ops import point as pt
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+def make_mesh(n_devices: Optional[int] = None,
+              axis: Optional[str] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    if axis is None:
+        from ..config import DEFAULT
+        axis = DEFAULT.mesh_axis
     return Mesh(np.array(devs), (axis,))
 
 

@@ -88,14 +88,14 @@ def _collect_tx_chunk(pairs: List[WirePair], seed: bytes):
     transcript) still run here; only the deferred heavy checks export.
     """
     from .utils import serde
-    from .transaction.transaction import verify_transaction
+    from .transaction.transaction import verify_transaction_auto
     from .accounts.deferred import DeferredPointChecks
 
     defer = DeferredPointChecks(seed)
     for txb, pfb in pairs:
-        verify_transaction(serde.transaction_from_bytes(txb),
-                           serde.transaction_proof_from_bytes(pfb),
-                           defer=defer)
+        verify_transaction_auto(serde.transaction_from_bytes(txb),
+                                serde.transaction_proof_from_bytes(pfb),
+                                defer=defer)
     return defer.export_wire()
 
 

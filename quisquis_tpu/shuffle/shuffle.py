@@ -30,10 +30,13 @@ from . import vectorutil
 
 L = ex.L
 
-#: default configuration, matching the reference (shuffle.rs:55-59)
-N = 9
-ROWS = 3
-COLUMNS = 3
+# default configuration from config.DEFAULT (reference: 9 / 3x3,
+# shuffle.rs:55-59); actual sizes always derive from input lengths
+from ..config import DEFAULT as _DEFAULT_CFG  # noqa: E402
+
+N = _DEFAULT_CFG.anonymity_set_size
+ROWS = _DEFAULT_CFG.rows
+COLUMNS = _DEFAULT_CFG.columns
 
 
 def _enc(p):

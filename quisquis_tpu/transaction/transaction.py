@@ -63,7 +63,11 @@ class Transaction:
     output_account_vector: List[Account]
 
     @staticmethod
-    def generate_value_vector(balance: int, n: int = 9) -> List[int]:
+    def generate_value_vector(balance: int,
+                              n: Optional[int] = None) -> List[int]:
+        if n is None:
+            from ..config import DEFAULT
+            n = DEFAULT.anonymity_set_size
         return [-balance, balance] + [0] * (n - 2)
 
 
@@ -97,10 +101,15 @@ class TransactionProof:
 
 
 def generate_value_and_account_vector(
-    tx_vector: Sequence[Sender], rng: Optional[SeededRng] = None, n: int = 9,
+    tx_vector: Sequence[Sender], rng: Optional[SeededRng] = None,
+    n: Optional[int] = None,
 ) -> Tuple[List[int], List[Account], List[int], int, int, int]:
     """Build value/account vectors, padding to n with fresh zero-balance
-    anonymity accounts (transaction.rs:103-164)."""
+    anonymity accounts (transaction.rs:103-164). `n` defaults to
+    config.DEFAULT.anonymity_set_size (reference: 9)."""
+    if n is None:
+        from ..config import DEFAULT
+        n = DEFAULT.anonymity_set_size
     if rng is None:
         rng = SeededRng()
     if len(tx_vector) >= n:
@@ -548,6 +557,22 @@ def verify_transaction(tx: Transaction, proof: TransactionProof,
         defer.verify(backend=backend, mesh=mesh)
 
 
+def verify_transaction_auto(tx: Transaction, proof: TransactionProof,
+                            defer=None, backend: str = "auto",
+                            mesh=None) -> None:
+    """Verify a transaction whichever range-proof path built it: dispatches
+    on the proof bundle's range-proof type (aggregated bulletproof vs the
+    shared-R1CS constraint system), so wire consumers (serde/serving) don't
+    need out-of-band knowledge of the prover's choice."""
+    from ..bulletproofs.r1cs import R1CSProof
+
+    if proof.range_proofs and isinstance(proof.range_proofs[0], R1CSProof):
+        verify_transaction_r1cs(tx, proof, defer=defer, backend=backend,
+                                mesh=mesh)
+    else:
+        verify_transaction(tx, proof, defer=defer, backend=backend, mesh=mesh)
+
+
 def batch_verify_transactions(items: Sequence[Tuple[Transaction,
                                                     TransactionProof]],
                               backend: str = "auto", mesh=None,
@@ -576,7 +601,7 @@ def batch_verify_transactions(items: Sequence[Tuple[Transaction,
 
         def _one(i: int) -> None:
             tx, proof = items[i]
-            verify_transaction(tx, proof, defer=subs[i])
+            verify_transaction_auto(tx, proof, defer=subs[i])
 
         with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
             # list() drains the iterator so worker exceptions propagate
@@ -585,7 +610,7 @@ def batch_verify_transactions(items: Sequence[Tuple[Transaction,
             defer.merge(sub)
     else:
         for tx, proof in items:
-            verify_transaction(tx, proof, defer=defer)
+            verify_transaction_auto(tx, proof, defer=defer)
     defer.verify(backend=backend, mesh=mesh)
 
 

@@ -366,6 +366,11 @@ def transaction_proof_to_bytes(p) -> bytes:
     _w_accounts(w, p.anonymity_accounts)
     w.u32(len(p.range_proofs))
     for rp in p.range_proofs:
+        # kind tag: 0 = aggregated bulletproof, 1 = shared-R1CS proof
+        # (the R1CS transaction path, transaction.rs:184-475)
+        from ..bulletproofs.r1cs import R1CSProof
+
+        w.u8(1 if isinstance(rp, R1CSProof) else 0)
         w.blob(rp.to_bytes())
     w.blob(shuffle_proof_to_bytes(p.input_shuffle_proof,
                                   p.input_shuffle_statement))
@@ -391,7 +396,17 @@ def transaction_proof_from_bytes(data: bytes):
     n_rp = r.u32()
     if n_rp > len(r.data) // 32:
         raise ValueError("declared count exceeds remaining proof bytes")
-    range_proofs = [RangeProof.from_bytes(r.blob()) for _ in range(n_rp)]
+    from ..bulletproofs.r1cs import R1CSProof
+
+    range_proofs = []
+    for _ in range(n_rp):
+        kind = r.u8()
+        if kind == 0:
+            range_proofs.append(RangeProof.from_bytes(r.blob()))
+        elif kind == 1:
+            range_proofs.append(R1CSProof.from_bytes(r.blob()))
+        else:
+            raise ValueError(f"unknown range-proof kind {kind}")
     in_p, in_s = _shuffle_proof_read(Reader(r.blob()))
     out_p, out_s = _shuffle_proof_read(Reader(r.blob()))
     sc, rc, diff = r.u32(), r.u32(), r.u32()

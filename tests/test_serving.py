@@ -144,3 +144,47 @@ def test_shuffle_verification_service():
         bad[60] ^= 1
         with pytest.raises(ValueError):
             svc.verify_wire([blobs[0], blobs[1], bytes(bad)])
+
+
+def test_r1cs_transaction_through_wire_and_service():
+    """R1CS-path transactions survive the wire format and the service
+    (VERDICT r1 item 9: serde/serving parity for the R1CS path)."""
+    from quisquis_tpu.transaction.transaction import (
+        create_transaction_r1cs, verify_transaction_auto)
+    from quisquis_tpu.utils import serde
+
+    rng = SeededRng(seed=b"serving-r1cs")
+    sk = RistrettoSecretKey.random(rng)
+    pk = RistrettoPublicKey.from_secret_key(sk, rng)
+    acc, _ = Account.generate_account(pk, rng)
+    acc = Account.update_account(acc, 10, rng.random_scalar(),
+                                 rng.random_scalar())
+    rec_pk = RistrettoPublicKey.from_secret_key(
+        RistrettoSecretKey.random(rng), rng)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=rng)
+    tx, pf = create_transaction_r1cs(
+        values, accounts, sender_updated_balance=[5], sender_sk=[sk],
+        anonymity_comm_scalar=anon, anonymity_account_diff=diff,
+        receiver_updated_balance=[5], senders_count=sc, receivers_count=rc,
+        rng=rng)
+
+    # wire roundtrip preserves the R1CS proof and it verifies
+    pair = serialize_transaction(tx, pf)
+    tx2 = serde.transaction_from_bytes(pair[0])
+    pf2 = serde.transaction_proof_from_bytes(pair[1])
+    from quisquis_tpu.bulletproofs.r1cs import R1CSProof
+    assert isinstance(pf2.range_proofs[0], R1CSProof)
+    verify_transaction_auto(tx2, pf2)
+
+    # through the service (host and collect modes)
+    for backend in ("host", "merged-host"):
+        with VerificationService(workers=2, seed=b"r1cs",
+                                 backend=backend) as svc:
+            assert svc.verify_wire([pair]) == 1
+            bad = bytearray(pair[1])
+            bad[-40] ^= 1
+            with pytest.raises(ValueError):
+                svc.verify_wire([(pair[0], bytes(bad))])

@@ -253,3 +253,79 @@ def test_full_transaction_r1cs_roundtrip():
         list(reversed(tx.output_account_vector)))
     with pytest.raises(ValueError):
         verify_transaction_r1cs(bad, tx_proof, backend="host")
+
+
+def test_transaction_64_account_tamper_matrix():
+    """Every component of a 64-account transaction proof, corrupted in
+    turn, must be rejected (VERDICT r1 item 8): sigma responses, accounts,
+    the aggregated range proof, both shuffle proofs, and the counts."""
+    import dataclasses
+
+    from quisquis_tpu.utils import serde
+
+    r = rng(b"tx64-tamper")
+    sk = RistrettoSecretKey.random(r)
+    pk = RistrettoPublicKey.from_secret_key(sk, r)
+    acc, _ = Account.generate_account(pk, r)
+    acc = Account.update_account(acc, 10, r.random_scalar(), r.random_scalar())
+    rec_pk = RistrettoPublicKey.from_secret_key(RistrettoSecretKey.random(r), r)
+    sender = Sender(total_amount=-5, account=acc,
+                    receivers=[Receiver(5, rec_pk)])
+    values, accounts, anon_scalars, diff, sc, rc = \
+        generate_value_and_account_vector([sender], rng=r, n=64)
+    tx, proof = create_transaction(
+        values, accounts, sender_updated_balance=[5], sender_sk=[sk],
+        anonymity_comm_scalar=anon_scalars, anonymity_account_diff=diff,
+        receiver_updated_balance=[5], senders_count=sc, receivers_count=rc,
+        rng=r)
+    verify_transaction(tx, proof, backend="host")
+    wire = serde.transaction_proof_to_bytes(proof)
+
+    def corrupted(**changes):
+        return dataclasses.replace(proof, **changes)
+
+    bad_scalar = (proof.delta_dleq[3] + 1) % ex.L
+    mutations = {
+        "delta_dleq response": corrupted(
+            delta_dleq=([bad_scalar] + proof.delta_dleq[0][1:],
+                        proof.delta_dleq[1], proof.delta_dleq[2],
+                        proof.delta_dleq[3])),
+        "delta_dleq challenge": corrupted(
+            delta_dleq=proof.delta_dleq[:3] + (bad_scalar,)),
+        "update_dlog": corrupted(
+            update_dlog=([bad_scalar] + proof.update_dlog[0][1:],
+                         proof.update_dlog[1])),
+        "zero_dlog": corrupted(
+            zero_dlog=(proof.zero_dlog[0], bad_scalar)),
+        "sender_dleq": corrupted(
+            sender_dleq=([bad_scalar] + proof.sender_dleq[0][1:],
+                         proof.sender_dleq[1], proof.sender_dleq[2],
+                         proof.sender_dleq[3])),
+        "senders_count": corrupted(senders_count=2),
+        "anonymity_account_diff": corrupted(
+            anonymity_account_diff=proof.anonymity_account_diff - 1),
+    }
+    for name, bad_proof in mutations.items():
+        try:
+            verify_transaction(tx, bad_proof, backend="host")
+        except (ValueError, IndexError, AssertionError):
+            continue
+        raise AssertionError(f"{name}: tamper accepted")
+
+    # byte-level corruption of each serialized region: epsilon accounts,
+    # anonymity accounts, the m=2-aggregated range proof, both shuffle
+    # proofs (offsets span the whole wire blob)
+    step = max(1, len(wire) // 24)
+    rejected = 0
+    for off in range(16, len(wire) - 8, step):
+        blob = bytearray(wire)
+        blob[off] ^= 1
+        try:
+            bad = serde.transaction_proof_from_bytes(bytes(blob))
+        except ValueError:
+            rejected += 1  # malformed framing is also a rejection
+            continue
+        with pytest.raises(ValueError):
+            verify_transaction(tx, bad, backend="host")
+        rejected += 1
+    assert rejected >= 20
