@@ -186,6 +186,80 @@ def config4c_batch_verify(batch=256):
            f"batch={batch}, one MSM, {dt*1e3:.0f} ms total")
 
 
+def config4d_device_range_verify(batch=64, n=64, m=16):
+    """Fully on-device batched range-proof verification: transcript replay,
+    challenge arithmetic mod l, and the combined MSM inside one jitted
+    program (bulletproofs/device_verify.py). One upload, one boolean fetch
+    — the serving shape where the TPU beats the host even through the
+    bench tunnel."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.bulletproofs.range_proof import RangeProof
+    from quisquis_tpu.bulletproofs.device_verify import DeviceRangeVerifier
+
+    rng = SeededRng(seed=b"bench4d")
+    proof, V = RangeProof.prove_multiple(
+        Transcript(b"RangeProof"), list(range(1, m + 1)),
+        [rng.random_scalar()] * m, n, rng=rng)
+    proofs = [proof] * batch
+    vlists = [V] * batch
+
+    drv = DeviceRangeVerifier(n, m, batch)
+    drv.verify(proofs, vlists, rng=SeededRng(seed=b"w"))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        drv.verify(proofs, vlists, rng=SeededRng(seed=b"w2"))
+        best = min(best, time.perf_counter() - t0)
+    # host comparison: batched one-MSM verification of the same batch
+    t0 = time.perf_counter()
+    RangeProof.batch_verify(
+        [(p, V_, Transcript(b"RangeProof")) for p, V_ in zip(proofs, vlists)],
+        n, rng=SeededRng(seed=b"bw"))
+    t_host = time.perf_counter() - t0
+    record("4d: on-device range-proof verification (full replay on TPU)",
+           round(batch / best, 1), "proofs/s",
+           f"batch={batch}, agg m={m}; host one-MSM batch "
+           f"{batch/t_host:.1f}/s -> device {best/batch*1e3:.1f} ms/proof")
+
+
+def config5e_device_shuffle_verify(batch=16, n=64):
+    """Fully on-device batched shuffle verification (the reference's
+    headline workload, shuffle.rs:547-712, on the chip end to end)."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+    from quisquis_tpu.shuffle.device_verify import DeviceShuffleVerifier
+    from quisquis_tpu.primitives.keys import (RistrettoSecretKey,
+                                              RistrettoPublicKey)
+    from quisquis_tpu.accounts.accounts import Account
+    import math
+
+    m = math.isqrt(n)
+    r = SeededRng(seed=b"bench5e")
+    accounts = []
+    for _ in range(n):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        accounts.append(acc)
+    sh = Shuffle.input_shuffle(accounts, rng=r)
+    prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=r)
+    proof, statement = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+    entries = [(proof, statement, sh.get_inputs_vector(),
+                sh.get_outputs_vector())] * batch
+
+    dsv = DeviceShuffleVerifier(m, batch)
+    dsv.verify(entries, rng=SeededRng(seed=b"w"))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dsv.verify(entries, rng=SeededRng(seed=b"w2"))
+        best = min(best, time.perf_counter() - t0)
+    record("5e: on-device shuffle verification (full replay on TPU)",
+           round(batch / best, 1), "proofs/s",
+           f"batch={batch}, {n}-account set, one upload + one bool fetch")
+
+
 def config5_shuffle_64():
     from quisquis_tpu.accounts.transcript import Transcript, SeededRng
     from quisquis_tpu.accounts.prover import Prover
@@ -474,9 +548,12 @@ def main():
     config3_msm()
     config4_range_proofs()
     config4c_batch_verify()
+    config4d_device_range_verify()
     config5_shuffle_64()
     config5c_batch_shuffle_verify()
     config5d_shuffle_serving()
+    if os.environ.get("QQ_BENCH_DEVICE_SHUFFLE") == "1":
+        config5e_device_shuffle_verify()  # compile-expensive; opt-in
     config6_transaction_serving()
     config6d_serving_processes()
     with open("BENCHMARKS.md", "w") as f:

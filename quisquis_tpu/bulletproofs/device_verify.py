@@ -78,7 +78,7 @@ def _sf_tree_prod(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0, :]
 
 
-def _to_nibbles(x: jnp.ndarray) -> jnp.ndarray:
+def _to_nibbles_impl(x: jnp.ndarray) -> jnp.ndarray:
     """Canonical NON-Montgomery scalar limbs [..., 24] -> [..., 64] nibbles."""
     out = []
     for j in range(64):
@@ -89,6 +89,9 @@ def _to_nibbles(x: jnp.ndarray) -> jnp.ndarray:
             v = v | (x[..., l_ + 1] << (sf.BITS - off))
         out.append(v & 0xF)
     return jnp.stack(out, axis=-1)
+
+
+_to_nibbles = jax.jit(_to_nibbles_impl)
 
 
 def _decompress_u8_impl(b: jnp.ndarray):
@@ -338,9 +341,13 @@ class DeviceRangeVerifier:
         frame = snaps[0][1:]
         if any(s[1:] != frame for s in snaps):
             raise ValueError("lane transcripts diverged in framing")
-        # the prefix frame is a static argument of the compiled program
+        # the prefix frame is a static argument of the compiled program;
+        # drop cached executables before recompiling — compile arenas for
+        # these graphs are multi-GB and two resident programs can exceed
+        # container memory limits
         if frame != self._prefix_frame:
             self._prefix_frame = frame
+            jax.clear_caches()
             self._verify_jit = jax.jit(self._build)
         states = np.stack([np.frombuffer(s[0], np.uint8)
                            for s in snaps]).astype(np.int32)

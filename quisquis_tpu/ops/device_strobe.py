@@ -80,11 +80,13 @@ class DeviceStrobe:
     # -- internals -----------------------------------------------------------
 
     def _run_f(self) -> None:
-        st = self.state
-        st = st.at[..., self.pos].set(st[..., self.pos] ^ self.pos_begin)
-        st = st.at[..., self.pos + 1].set(st[..., self.pos + 1] ^ 0x04)
-        st = st.at[..., STROBE_R + 1].set(st[..., STROBE_R + 1] ^ 0x80)
-        self.state = f1600(st)
+        # all three pad-byte positions and values are trace-time constants:
+        # one constant-vector XOR instead of three scatters
+        padv = np.zeros(200, np.int32)
+        padv[self.pos] ^= self.pos_begin
+        padv[self.pos + 1] ^= 0x04
+        padv[STROBE_R + 1] ^= 0x80
+        self.state = f1600(self.state ^ jnp.asarray(padv))
         self.pos = 0
         self.pos_begin = 0
 
@@ -98,18 +100,19 @@ class DeviceStrobe:
 
     def _as_lane_array(self, data: Data) -> jnp.ndarray:
         if isinstance(data, (bytes, bytearray)):
-            arr = jnp.asarray(np.frombuffer(bytes(data), np.uint8)
-                              .astype(np.int32))
-            return jnp.broadcast_to(arr, self.batch_shape + (len(data),))
+            # constants stay 1-D: the padded XOR broadcasts over lanes
+            return jnp.asarray(np.frombuffer(bytes(data), np.uint8)
+                               .astype(np.int32))
         return data
 
     def _absorb(self, data: Data, nbytes: int) -> None:
         arr = self._as_lane_array(data)
         assert arr.shape[-1] == nbytes
         for off, c in self._chunks(nbytes):
-            sl = self.state[..., self.pos:self.pos + c]
-            self.state = self.state.at[..., self.pos:self.pos + c].set(
-                sl ^ arr[..., off:off + c])
+            # zero-padded XOR at a static offset: 2 cheap ops, no scatter
+            pad = [(0, 0)] * (arr.ndim - 1) + [(self.pos,
+                                               200 - self.pos - c)]
+            self.state = self.state ^ jnp.pad(arr[..., off:off + c], pad)
             self.pos += c
             if self.pos == STROBE_R:
                 self._run_f()
@@ -118,7 +121,9 @@ class DeviceStrobe:
         outs = []
         for _, c in self._chunks(n):
             outs.append(self.state[..., self.pos:self.pos + c])
-            self.state = self.state.at[..., self.pos:self.pos + c].set(0)
+            mask = np.ones(200, np.int32)
+            mask[self.pos:self.pos + c] = 0
+            self.state = self.state * jnp.asarray(mask)
             self.pos += c
             if self.pos == STROBE_R:
                 self._run_f()

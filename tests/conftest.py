@@ -6,9 +6,15 @@ Multi-chip hardware is not available in CI; sharding tests use
 
 import os
 
+# QQ_TPU_TESTS=1 leaves the real accelerator visible so
+# tests/test_tpu_hardware.py can gate bit-exactness on the actual chip:
+#   QQ_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+_TPU_MODE = os.environ.get("QQ_TPU_TESTS") == "1"
+
 # force CPU: the environment pins JAX_PLATFORMS to the TPU plugin, and the
 # plugin ignores the env var — jax.config.update below is what sticks
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,8 +25,9 @@ if "xla_force_host_platform_device_count" not in flags:
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,118 @@
+"""On-device batched shuffle verification vs the host verifier.
+
+Gated behind QQ_DEVICE_SHUFFLE_TESTS=1: the one-program shuffle verifier
+compiles in minutes-to-tens-of-minutes (XLA spends superlinear time on the
+big integer graphs; compilation is one-time and persistently cached, but
+too slow for the default CI loop). Correctness was validated with this
+file on 2026-08-19; run it explicitly after touching the device verifier,
+transcript, or scalar-field layers.
+"""
+
+import dataclasses
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("QQ_DEVICE_SHUFFLE_TESTS") != "1",
+    reason="compile-expensive; set QQ_DEVICE_SHUFFLE_TESTS=1 to run")
+
+from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+from quisquis_tpu.accounts.prover import Prover
+from quisquis_tpu.accounts.verifier import Verifier
+from quisquis_tpu.accounts.accounts import Account
+from quisquis_tpu.primitives.keys import RistrettoPublicKey, RistrettoSecretKey
+from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+from quisquis_tpu.shuffle.device_verify import DeviceShuffleVerifier
+
+M = 3       # 9-account anonymity set
+B = 2
+
+
+def make_entries(tag: bytes, count=B, n=M * M):
+    rng = SeededRng(seed=tag)
+    accounts = []
+    for _ in range(n):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        accounts.append(acc)
+    entries = []
+    for _ in range(count):
+        sh = Shuffle.input_shuffle(accounts, rng=rng)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=rng)
+        proof, statement = ShuffleProof.create_shuffle_proof(
+            prover, sh, rng=rng)
+        entries.append((proof, statement, sh.get_inputs_vector(),
+                        sh.get_outputs_vector()))
+    return entries
+
+
+def host_verify(entry):
+    proof, statement, inputs, outputs = entry
+    v = Verifier(b"Shuffle", Transcript(b"ShuffleProof"))
+    proof.verify(v, statement, inputs, outputs)
+
+
+def test_device_accepts_valid_shuffles():
+    entries = make_entries(b"dsv-ok")
+    for e in entries:
+        host_verify(e)
+    dsv = DeviceShuffleVerifier(M, B)
+    dsv.verify(entries, rng=SeededRng(seed=b"w"))
+
+
+def test_device_rejects_tampering():
+    dsv = DeviceShuffleVerifier(M, B)
+    rng = SeededRng(seed=b"w2")
+
+    def expect_reject(mutate, name):
+        entries = make_entries(b"dsv-bad")
+        proof, statement, inputs, outputs = entries[1]
+        proof2, statement2 = mutate(proof, statement)
+        entries[1] = (proof2, statement2, inputs, outputs)
+        # the host verifier must also reject (parity check)
+        with pytest.raises(ValueError):
+            host_verify(entries[1])
+        with pytest.raises(ValueError):
+            dsv.verify(entries, rng=rng)
+
+    def flip(b: bytes) -> bytes:
+        return bytes([b[0] ^ 1]) + b[1:]
+
+    expect_reject(lambda p, s: (
+        dataclasses.replace(p, c_A=[flip(p.c_A[0])] + p.c_A[1:]), s),
+        "c_A point")
+    expect_reject(lambda p, s: (dataclasses.replace(
+        p, hadamard_proof=dataclasses.replace(
+            p.hadamard_proof,
+            a_bar=[(p.hadamard_proof.a_bar[0] + 1)]
+            + p.hadamard_proof.a_bar[1:])), s), "hadamard a_bar")
+    expect_reject(lambda p, s: (dataclasses.replace(
+        p, ddh_proof=dataclasses.replace(
+            p.ddh_proof, z=p.ddh_proof.z + 1)), s), "ddh z")
+    expect_reject(lambda p, s: (dataclasses.replace(
+        p, multi_exponen_commit=dataclasses.replace(
+            p.multi_exponen_commit,
+            E_k_0=[flip(p.multi_exponen_commit.E_k_0[0])]
+            + p.multi_exponen_commit.E_k_0[1:])), s), "multiexpo E_k")
+
+    # tampered statement: wrong svp b
+    def bad_stmt(p, s):
+        ps = dataclasses.replace(
+            s.product_statement,
+            svp_statement=dataclasses.replace(
+                s.product_statement.svp_statement,
+                b=s.product_statement.svp_statement.b + 1))
+        return p, dataclasses.replace(s, product_statement=ps)
+    expect_reject(bad_stmt, "svp statement b")
+
+
+def test_device_rejects_swapped_accounts():
+    entries = make_entries(b"dsv-swap")
+    e0 = entries[0]
+    # swap input and output vectors: statement no longer matches
+    entries[0] = (e0[0], e0[1], e0[3], e0[2])
+    dsv = DeviceShuffleVerifier(M, B)
+    with pytest.raises(ValueError):
+        dsv.verify(entries, rng=SeededRng(seed=b"w3"))
