@@ -133,6 +133,21 @@ _decompress_u8 = jax.jit(_decompress_u8_impl)
 _msm_jit = jax.jit(qmsm.msm_raw)
 
 
+def _run_nocache(fn, *args):
+    """Invoke a jitted verifier with the persistent compilation cache OFF.
+
+    The one-program verifiers compile to multi-GB executables; writing
+    those through the persistent cache segfaults (compressor overflow in
+    the cache writer). Compilation stays cached in-process; only the
+    on-disk cache is bypassed for these programs."""
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        return fn(*args)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+
+
 def _ext_concat(points: List[pt.ExtPoint]) -> pt.ExtPoint:
     return pt.ExtPoint(*(jnp.concatenate([getattr(p_, c) for p_ in points],
                                          axis=0)
@@ -363,7 +378,8 @@ class DeviceRangeVerifier:
             wbytes = rng.fill_bytes(self.batch * 2 * 64)
         weights = np.frombuffer(wbytes, np.uint8).reshape(
             self.batch, 2, 64).astype(np.int32)
-        ok = self._verify_jit(jnp.asarray(comp), jnp.asarray(scal),
-                              jnp.asarray(weights), jnp.asarray(states))
+        ok = _run_nocache(self._verify_jit, jnp.asarray(comp),
+                          jnp.asarray(scal), jnp.asarray(weights),
+                          jnp.asarray(states))
         if not bool(ok):
             raise ValueError("Device batched range-proof verification failed")

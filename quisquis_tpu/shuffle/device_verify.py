@@ -45,7 +45,8 @@ from ..ops.device_strobe import (DeviceStrobe, DeviceTranscript,
 from ..primitives.pedersen import default_pedersen_gens, vector_pedersen_gens
 from ..bulletproofs.device_verify import (_decompress_u8, _to_nibbles,
                                           _sf_tree_sum, _sf_tree_prod,
-                                          _ext_concat, _msm_jit)
+                                          _ext_concat, _msm_jit,
+                                          _run_nocache)
 
 L = ex.L
 
@@ -518,18 +519,15 @@ class DeviceShuffleVerifier:
             exp_x,                              # H_agg terms             [N]
             bcast(ddh_chal, 2),                 # c*G_dash, c*H_dash      [2]
             bcast(mepk[:, m + 1], 2),           # pk reenc: b*base_{g,h}  [2]
-            mec[:, m + 3][:, None, :],          # mec reenc: t*base_g     [1]
             mec[:, m + 1][:, None, :],          # mec reenc: b*BASE       [1]
-            mec[:, m + 3][:, None, :],          # mec reenc: t*base_h     [1]
         ], axis=1)
         mul_pts = _lane_cat([
             cA_pts, sum_G, mh_pts,
             pt.ExtPoint(*(c[:, 1:m] for c in mh_pts)),
-            in_g, in_h, ddh_pts, base_g, base_h, base_g,
+            in_g, in_h, ddh_pts, base_g, base_h,
             pt.ExtPoint(*(jnp.broadcast_to(c[None, None],
                                            (B, 1) + c.shape)
                           for c in pt.basepoint(()))),
-            base_h,
         ])
         prods = _mul_pt(mul_scal, mul_pts)      # ONE batched kernel
         off = 0
@@ -548,9 +546,7 @@ class DeviceShuffleVerifier:
         H_terms = nxt(N)
         ddh_dash = nxt(2)
         re_pk = nxt(2)
-        re_c0 = nxt(1)
         re_bB = nxt(1)
-        re_c1 = nxt(1)
         assert off == mul_scal.shape[1]
 
         # c_E_i = y*c_A_i + c_B_i + (-z)*sum_G
@@ -584,14 +580,21 @@ class DeviceShuffleVerifier:
         dt.append_point_var(b"g_dash", wire("ddh")[:, 0])
         dt.append_point_var(b"h", _limbs_to_bytes_dev(_compress_jit(H_agg)))
         dt.append_point_var(b"h_dash", wire("ddh")[:, 1])
-        # phase-2 multiplications (operands produced by phase 1)
-        zGH = _mul_pt(bcast(ddh_z, 2),
-                      pt.ExtPoint(*(jnp.stack([g, h], axis=1)
-                                    for g, h in zip(G_agg, H_agg))))
-        g_r = _add_jit(pt.ExtPoint(*(c[:, 0] for c in zGH)),
+        # phase-2 multiplications (operands produced by phase 1):
+        # DDH responses on (G, H) and the commitment-multiexpo
+        # reencryption, whose key is pk_GH = (G_agg, H_agg) — NOT the base
+        # pk (shuffle.rs:502-513 passes pk_GH into the commitment variant)
+        GH_pair = pt.ExtPoint(*(jnp.stack([g, h, g, h], axis=1)
+                                for g, h in zip(G_agg, H_agg)))
+        p2_scal = jnp.concatenate(
+            [bcast(ddh_z, 2), bcast(mec[:, m + 3], 2)], axis=1)
+        p2 = _mul_pt(p2_scal, GH_pair)          # [B, 4]
+        g_r = _add_jit(pt.ExtPoint(*(c[:, 0] for c in p2)),
                        pt.ExtPoint(*(c[:, 0] for c in ddh_dash)))
-        h_r = _add_jit(pt.ExtPoint(*(c[:, 1] for c in zGH)),
+        h_r = _add_jit(pt.ExtPoint(*(c[:, 1] for c in p2)),
                        pt.ExtPoint(*(c[:, 1] for c in ddh_dash)))
+        re_c0 = pt.ExtPoint(*(c[:, 2:3] for c in p2))   # t * G_agg
+        re_c1 = pt.ExtPoint(*(c[:, 3:4] for c in p2))   # t * H_agg
         dt.append_point_var(b"gr", _limbs_to_bytes_dev(_compress_jit(g_r)))
         dt.append_point_var(b"hr", _limbs_to_bytes_dev(_compress_jit(h_r)))
         ddh_rechal = sf.from_bytes_wide(dt.get_challenge_bytes(b"Challenge"))
@@ -849,8 +852,9 @@ class DeviceShuffleVerifier:
         wbytes = os.urandom(nbytes) if rng is None else rng.fill_bytes(nbytes)
         weights = np.frombuffer(wbytes, np.uint8).reshape(
             self.batch, self.NCHECKS, 64).astype(np.int32)
-        ok = self._verify_jit(jnp.asarray(comp), jnp.asarray(scal),
-                              jnp.asarray(weights), jnp.asarray(states))
+        ok = _run_nocache(self._verify_jit, jnp.asarray(comp),
+                          jnp.asarray(scal), jnp.asarray(weights),
+                          jnp.asarray(states))
         if not bool(ok):
             raise ValueError("Device batched shuffle verification failed")
 
