@@ -65,11 +65,11 @@ def _sf_tree_sum(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sf_tree_prod(x: jnp.ndarray) -> jnp.ndarray:
-    """Mod-l product along axis -2 (Montgomery form)."""
+    """Mod-l product along axis -2 (log-depth, fixed order)."""
     n = x.shape[-2]
     while n > 1:
         if n % 2:
-            one = sf.one_mont(x.shape[:-2] + (1,))
+            one = sf.one(x.shape[:-2] + (1,))
             x = jnp.concatenate([x, one], axis=-2)
             n += 1
         h = n // 2
@@ -78,50 +78,23 @@ def _sf_tree_prod(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0, :]
 
 
-def _to_nibbles_impl(x: jnp.ndarray) -> jnp.ndarray:
-    """Canonical NON-Montgomery scalar limbs [..., 24] -> [..., 64] nibbles."""
-    out = []
-    for j in range(64):
-        bitpos = 4 * j
-        l_, off = divmod(bitpos, sf.BITS)
-        v = x[..., l_] >> off
-        if off > sf.BITS - 4 and l_ + 1 < sf.NLIMBS:
-            v = v | (x[..., l_ + 1] << (sf.BITS - off))
-        out.append(v & 0xF)
-    return jnp.stack(out, axis=-1)
+#: loose scalar limbs [..., 24] -> [..., 64] canonical 4-bit MSM digits
+_to_nibbles = sf.to_nibbles
 
-
-_to_nibbles = jax.jit(_to_nibbles_impl)
+_P_DIGITS = np.array([(ex.P >> (fe.BITS * i)) & fe.MASK
+                      for i in range(fe.NLIMBS)], dtype=np.int32)
 
 
 def _decompress_u8_impl(b: jnp.ndarray):
     """[..., 32] int32 byte encodings -> (ok, ExtPoint), canonicity included.
 
     Device-side version of point.decompress_from_bytes: the value-<p check
-    runs in limb space (no host trip).
+    runs in limb space (no host trip). Byte->limb extraction and the
+    canonicity compare are fully vectorized (constant-index gathers).
     """
-    # full 256-bit load for the canonicity comparison (s >= p rejection)
-    limbs = []
-    for i in range(fe.NLIMBS):
-        bitpos = fe.BITS * i
-        j, off = divmod(bitpos, 8)
-        v = b[..., j] >> off
-        if j + 1 < 32:
-            v = v | (b[..., j + 1] << (8 - off))
-        if j + 2 < 32:
-            v = v | (b[..., j + 2] << (16 - off))
-        limbs.append(v & fe.MASK)
-    raw = jnp.stack(limbs, axis=-1)  # includes bit 255 in the top limb
-    # canonical iff raw < p as a 264-bit integer. p = 2^255 - 19:
-    # raw >= p  <=>  (raw - p) has no borrow. Sequential borrow chain:
-    p_limbs = [(ex.P >> (fe.BITS * i)) & fe.MASK for i in range(fe.NLIMBS)]
-    borrow = jnp.zeros_like(raw[..., 0])
-    for i in range(fe.NLIMBS):
-        v = raw[..., i] - p_limbs[i] - borrow
-        borrow = (v >> fe.BITS) & 1
-    ge_p = borrow == 0
-    masked = raw.at[..., fe.NLIMBS - 1].set(raw[..., fe.NLIMBS - 1]
-                                            & ((1 << 2) - 1))
+    raw = sf._limbs_from_bytes(b, fe.NLIMBS)   # same 11x24 radix as field
+    ge_p = sf._lex_ge(raw, _P_DIGITS)
+    masked = raw.at[..., fe.NLIMBS - 1].set(raw[..., fe.NLIMBS - 1] & 3)
     # bit 255 set is also non-canonical; from_bytes masks it, detect here
     top_bit = (b[..., 31] >> 7) & 1
     ok_enc = jnp.logical_and(jnp.logical_not(ge_p), top_bit == 0)
@@ -131,21 +104,6 @@ def _decompress_u8_impl(b: jnp.ndarray):
 
 _decompress_u8 = jax.jit(_decompress_u8_impl)
 _msm_jit = jax.jit(qmsm.msm_raw)
-
-
-def _run_nocache(fn, *args):
-    """Invoke a jitted verifier with the persistent compilation cache OFF.
-
-    The one-program verifiers compile to multi-GB executables; writing
-    those through the persistent cache segfaults (compressor overflow in
-    the cache writer). Compilation stays cached in-process; only the
-    on-disk cache is bypassed for these programs."""
-    prev = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        return fn(*args)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", prev)
 
 
 def _ext_concat(points: List[pt.ExtPoint]) -> pt.ExtPoint:
@@ -166,8 +124,10 @@ class DeviceRangeVerifier:
     Each call uploads proof bytes + fresh host-sampled weights and fetches
     one boolean. Transcripts are fresh `Transcript(label)` per proof (pass
     `transcript_label`); for proofs embedded in a larger protocol, pass
-    per-proof host transcripts to `verify(..., transcripts=...)` and the
-    replayed prefix states ship with the batch.
+    per-proof host transcripts to `verify(..., transcripts=...)` — the
+    replayed prefix states ship with the batch and the (static) prefix
+    framing selects a jit specialization, so mixed standalone/embedded
+    flows coexist in the compilation cache.
     """
 
     def __init__(self, n: int, m: int, batch: int,
@@ -183,20 +143,21 @@ class DeviceRangeVerifier:
         H = bp.H(n, m)
         # device-resident static generators: [2 + 2nm] points
         self._static = pt.from_exact_batch([pc.B, pc.B_blinding] + G + H)
-        self._verify_jit = jax.jit(self._build)
+        self._verify_jit = jax.jit(self._build, static_argnums=4)
 
     # -- device program ------------------------------------------------------
 
-    def _build(self, comp, scal, weights, states):
+    def _build(self, comp, scal, weights, states, frame):
         """comp: [B, P, 32] compressed points (V m | A S T1 T2 | L k | R k);
         scal: [B, 5, 32] (t_x, t_x_blinding, e_blinding, ipp a, ipp b);
-        weights: [B, 2, 64] uniform bytes; states: [B, 200] STROBE states.
+        weights: [B, 2, 64] uniform bytes; states: [B, 200] STROBE states;
+        frame: static (pos, pos_begin, cur_flags) of the uploaded states.
         """
         n, m, B, nm, k = self.n, self.m, self.batch, self.nm, self.k
         ok_pts, pts = _decompress_u8(comp)       # [B, P], points [B, P]
         all_ok = jnp.all(ok_pts)
 
-        t_x = sf.from_bytes(scal[:, 0])          # Montgomery form
+        t_x = sf.from_bytes(scal[:, 0])
         t_x_b = sf.from_bytes(scal[:, 1])
         e_b = sf.from_bytes(scal[:, 2])
         ipp_a = sf.from_bytes(scal[:, 3])
@@ -206,13 +167,12 @@ class DeviceRangeVerifier:
 
         # canonical byte views for transcript appends (host appends
         # sc_to_bytes(reduced scalar), so device must re-canonicalize)
-        t_x_bytes = sf.to_bytes_array(sf.from_mont(t_x))
-        t_x_b_bytes = sf.to_bytes_array(sf.from_mont(t_x_b))
-        e_b_bytes = sf.to_bytes_array(sf.from_mont(e_b))
+        t_x_bytes = sf.to_bytes_array(t_x)
+        t_x_b_bytes = sf.to_bytes_array(t_x_b)
+        e_b_bytes = sf.to_bytes_array(e_b)
 
         dt = object.__new__(DeviceTranscript)
-        dt.strobe = DeviceStrobe.from_host_states(
-            states, *self._prefix_frame)
+        dt.strobe = DeviceStrobe.from_host_states(states, *frame)
 
         dt.append_message(b"dom-sep", b"rangeproof v1")
         dt.append_u64(b"n", n)
@@ -240,14 +200,14 @@ class DeviceRangeVerifier:
             u.append(sf.from_bytes_wide(dt.get_challenge_bytes(b"u")))
         u = jnp.stack(u, axis=-2)                  # [B, k, 24]
 
-        # ----- scalar work (all Montgomery) -----
+        # ----- scalar work (loose limbs mod l) -----
         y_pows = sf.powers(y, nm)                  # [B, nm, 24]
         y_inv = sf.invert(y)
         h_fact = sf.powers(y_inv, nm)              # y^-i
         z_pows = sf.powers(z, m + 3)               # z^0..z^{m+2}
         z2 = z_pows[..., 2, :]
         two_pows = jnp.asarray(sf.from_int_batch(
-            [(1 << i) * sf.R % L for i in range(n)]))   # 2^i Montgomery [n,24]
+            [1 << i for i in range(n)]))           # 2^i  [n, 24]
         # zeta[j, i] = z^{2+j} * 2^i  -> flatten [B, nm]
         zeta = sf.mul(z_pows[..., 2:2 + m, :][..., :, None, :],
                       two_pows[None, None, :, :])        # [B, m, n, 24]
@@ -255,8 +215,7 @@ class DeviceRangeVerifier:
 
         # delta(y,z) = (z - z^2) sum(y^i) - sum_j z^{3+j} * (2^n - 1)
         sum_y = _sf_tree_sum(y_pows)
-        sum_2 = sf.const((1 << n) - 1, ())
-        sum_2m = sf.to_mont(jnp.broadcast_to(sum_2, (B, sf.NLIMBS)))
+        sum_2m = sf.const((1 << n) - 1, (B,))
         zj3 = z_pows[..., 3:3 + m, :]
         sum_z3 = _sf_tree_sum(zj3)
         delta = sf.sub(sf.mul(sf.sub(z, z2), sum_y),
@@ -273,7 +232,7 @@ class DeviceRangeVerifier:
             bit = (np.arange(nm) >> (k - 1 - j)) & 1   # [nm] constants
             mult = jnp.where(jnp.asarray(bit[None, :, None] == 1),
                              u_sq[:, j, None, :],
-                             sf.one_mont((B, nm)))
+                             sf.one((B, nm)))
             s_vec = sf.mul(s_vec, mult)
         s_inv_vec = s_vec[:, ::-1, :]              # 1/s_i = s_{nm-1-i}
 
@@ -320,7 +279,7 @@ class DeviceRangeVerifier:
 
         all_scal = jnp.concatenate(
             [static_total, dyn_scal.reshape((-1, sf.NLIMBS))], axis=0)
-        nib = _to_nibbles(sf.from_mont(all_scal))
+        nib = _to_nibbles(all_scal)
         flat_pts = pt.ExtPoint(*(c.reshape((-1, fe.NLIMBS))
                                  for c in pts))
         all_pts = _ext_concat([self._static, flat_pts])
@@ -328,8 +287,6 @@ class DeviceRangeVerifier:
         return jnp.logical_and(all_ok, pt.is_identity_raw(total))
 
     # -- host API --------------------------------------------------------------
-
-    _prefix_frame = (0, 0, 0)  # (pos, pos_begin, cur_flags) of uploaded states
 
     def _pack(self, proofs, value_commitments, transcripts):
         from ..accounts.transcript import Transcript
@@ -356,30 +313,23 @@ class DeviceRangeVerifier:
         frame = snaps[0][1:]
         if any(s[1:] != frame for s in snaps):
             raise ValueError("lane transcripts diverged in framing")
-        # the prefix frame is a static argument of the compiled program;
-        # drop cached executables before recompiling — compile arenas for
-        # these graphs are multi-GB and two resident programs can exceed
-        # container memory limits
-        if frame != self._prefix_frame:
-            self._prefix_frame = frame
-            jax.clear_caches()
-            self._verify_jit = jax.jit(self._build)
         states = np.stack([np.frombuffer(s[0], np.uint8)
                            for s in snaps]).astype(np.int32)
-        return comp.astype(np.int32), scal.astype(np.int32), states
+        return comp.astype(np.int32), scal.astype(np.int32), states, frame
 
     def verify(self, proofs: Sequence, value_commitments: Sequence[Sequence[bytes]],
                transcripts=None, rng: Optional[object] = None) -> None:
         """Verify a full batch; raises ValueError unless every proof passes."""
-        comp, scal, states = self._pack(proofs, value_commitments, transcripts)
+        comp, scal, states, frame = self._pack(proofs, value_commitments,
+                                               transcripts)
         if rng is None:
             wbytes = os.urandom(self.batch * 2 * 64)
         else:
             wbytes = rng.fill_bytes(self.batch * 2 * 64)
         weights = np.frombuffer(wbytes, np.uint8).reshape(
             self.batch, 2, 64).astype(np.int32)
-        ok = _run_nocache(self._verify_jit, jnp.asarray(comp),
-                          jnp.asarray(scal), jnp.asarray(weights),
-                          jnp.asarray(states))
+        ok = self._verify_jit(jnp.asarray(comp), jnp.asarray(scal),
+                              jnp.asarray(weights), jnp.asarray(states),
+                              frame)
         if not bool(ok):
             raise ValueError("Device batched range-proof verification failed")

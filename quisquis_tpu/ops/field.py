@@ -247,59 +247,42 @@ def _mul_small_raw(a: jnp.ndarray, c: int) -> jnp.ndarray:
 mul_small = partial(jax.jit, static_argnums=1)(_mul_small_raw)
 
 
+# gathered-schoolbook shift table: _SHIFT_IDX[i, k] = (k - i) mod 47; the
+# padded operand is zero at rows >= NLIMBS, so out-of-band offsets vanish
+_MUL_W = 2 * NLIMBS - 1
+_SHIFT_IDX = np.array([[(k - i) % _MUL_W for k in range(_MUL_W)]
+                       for i in range(NLIMBS)], dtype=np.int32)
+
+_MUL_COL_BOUNDS = [
+    sum(CONTRACT[i] * CONTRACT[k - i]
+        for i in range(max(0, k - NLIMBS + 1), min(k, NLIMBS - 1) + 1))
+    for k in range(_MUL_W)
+]
+assert max(_MUL_COL_BOUNDS) <= INT32_MAX
+
+
 def _mul_raw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, batch + (NLIMBS,))
-    b = jnp.broadcast_to(b, batch + (NLIMBS,))
-    w = 2 * NLIMBS - 1
-    pad_cfg = [(0, 0)] * len(batch)
-    cols = jnp.zeros(batch + (w,), dtype=_i32)
-    for i in range(NLIMBS):
-        term = a[..., i:i + 1] * b
-        cols = cols + jnp.pad(term, pad_cfg + [(i, w - NLIMBS - i)])
-    col_bounds = [
-        sum(CONTRACT[i] * CONTRACT[k - i]
-            for i in range(max(0, k - NLIMBS + 1), min(k, NLIMBS - 1) + 1))
-        for k in range(w)
-    ]
-    assert max(col_bounds) <= INT32_MAX
-    return _reduce_bounded(cols, col_bounds)
+    """Schoolbook columns as one gather + multiply-reduce.
+
+    The vectorized form traces to ~10 HLO ops per call site (the unrolled
+    24-pass pad/add form traced to hundreds, which made whole-verifier
+    programs explode at XLA compile time) and hands XLA a single fused
+    contraction at run time.
+    """
+    # gather BEFORE broadcasting: when an operand is a trace-time constant
+    # (e.g. the curve d2 limbs), XLA folds the [24, 47] shifted table once;
+    # broadcasting first would make it fold batch-sized constants instead
+    bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, _MUL_W - NLIMBS)])
+    shifted = jnp.take(bp, jnp.asarray(_SHIFT_IDX), axis=-1)  # [..., 24, 47]
+    cols = jnp.sum(a[..., :, None] * shifted, axis=-2)
+    return _reduce_bounded(cols, list(_MUL_COL_BOUNDS))
 
 
 mul = jax.jit(_mul_raw)
 
 
 def _square_raw(a: jnp.ndarray) -> jnp.ndarray:
-    """Squaring via the symmetric convolution: ~45% fewer multiplies.
-
-    col_k = sum_{i<j, i+j=k} (2*a_i)*a_j + [k even] a_{k/2}^2.
-    """
-    batch = a.shape[:-1]
-    w = 2 * NLIMBS - 1
-    pad_cfg = [(0, 0)] * len(batch)
-    a2 = a * 2
-    cols = jnp.zeros(batch + (w,), dtype=_i32)
-    for i in range(NLIMBS):
-        # self square at column 2i, cross terms at i+j for j > i
-        self_term = a[..., i:i + 1] * a[..., i:i + 1]
-        cols = cols + jnp.pad(self_term, pad_cfg + [(2 * i, w - 1 - 2 * i)])
-        if i + 1 < NLIMBS:
-            cross = a[..., i:i + 1] * a2[..., i + 1:]
-            ncross = NLIMBS - 1 - i
-            cols = cols + jnp.pad(cross, pad_cfg + [(2 * i + 1,
-                                                     w - 2 * i - 1 - ncross)])
-    col_bounds = []
-    for k in range(w):
-        b = 0
-        for i in range(max(0, k - NLIMBS + 1), min(k, NLIMBS - 1) + 1):
-            j = k - i
-            if i < j:
-                b += 2 * CONTRACT[i] * CONTRACT[j]
-            elif i == j:
-                b += CONTRACT[i] * CONTRACT[i]
-        col_bounds.append(b)
-    assert max(col_bounds) <= INT32_MAX
-    return _reduce_bounded(cols, col_bounds)
+    return _mul_raw(a, a)
 
 
 square = jax.jit(_square_raw)

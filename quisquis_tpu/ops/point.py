@@ -196,19 +196,24 @@ def _lookup_16(table: ExtPoint, digit: jnp.ndarray) -> ExtPoint:
 
 
 def _build_window_table(p: ExtPoint) -> ExtPoint:
-    """[..., 16, NLIMBS] per-coordinate multiples 0..15 of p."""
-    entries = [identity(p.shape), p]
-    for k in range(2, 16):
-        if k % 2 == 0:
-            entries.append(double_raw(entries[k // 2]))
-        else:
-            entries.append(add_raw(entries[k - 1], p))
+    """[..., 16, NLIMBS] per-coordinate multiples 0..15 of p.
 
-    def stack(c):
-        return jnp.stack(c, axis=-2)
+    Rolled as a `lax.scan` of 14 sequential additions so the traced graph
+    holds ONE point-add regardless of call-site count (the unrolled
+    double-and-add chain used to inline ~10k HLO ops per scalar-mul site,
+    the single largest contributor to verifier compile times).
+    """
 
-    return ExtPoint(stack([e.x for e in entries]), stack([e.y for e in entries]),
-                    stack([e.z for e in entries]), stack([e.t for e in entries]))
+    def body(acc, _):
+        nxt = add_raw(acc, p)
+        return nxt, nxt
+
+    _, mult = jax.lax.scan(body, p, None, length=14)     # 2p .. 15p
+    first = ExtPoint(*(jnp.stack([i_, p_], axis=0)
+                       for i_, p_ in zip(identity(p.shape), p)))
+    table = ExtPoint(*(jnp.concatenate([f, m], axis=0)
+                       for f, m in zip(first, mult)))
+    return ExtPoint(*(jnp.moveaxis(c, 0, -2) for c in table))
 
 
 def scalar_mul_raw(nibbles: jnp.ndarray, p: ExtPoint) -> ExtPoint:

@@ -8,18 +8,32 @@ a TPU-first design, NOT a port:
 * **Radix 2^11, 24 limbs** (264-bit capacity), int32 everywhere — the same
   layout as the GF(2^255-19) engine (:mod:`quisquis_tpu.ops.field`), so
   scalar and field tensors share conversion helpers and SoA batch shapes.
-* **Montgomery representation** (R = 2^264): multiplication is schoolbook
-  partial products + 24 CIOS reduction steps, all int32 multiply-accumulate
-  with trace-time-verified bounds (no 64-bit emulation, no floats, fixed
-  reduction order — bit-exactness requires integer determinism).
-* **Canonical contract**: every public op returns limbs of a value in
-  [0, l), each limb <= 2^11-1. Public inputs assume the same.
+* **Plain (non-Montgomery) representation with matrix folding**: a product
+  is one gathered schoolbook contraction (47 columns, each < 2^31 by
+  construction) followed by carry passes and *fold* steps that contract
+  limbs >= 24 through a constant matrix CMAT[h, j] = digit_j(2^(11*(24+h))
+  mod l) — a single int32 einsum. Everything is data-parallel: no
+  sequential CIOS chain, no 64-bit emulation, no floats. The pass schedule
+  is chosen greedily at trace time from exact integer interval arithmetic;
+  every intermediate is proven < 2^31, so int32 overflow is impossible by
+  construction (the same certification style as ops/field.py).
+* **Loose contract**: every public op returns limbs in [0, 2^12) whose
+  value is congruent mod l to the intended result; public inputs may
+  assume the same. Exact canonical digits (value in [0, l), limbs < 2^11)
+  are produced only at boundaries (`canonicalize`, `eq`, `to_bytes_array`,
+  `to_nibbles`), which run short `lax.scan` carry chains.
 
 Why it exists: the on-device verifier (device transcript replay + deferred
 MSM, see bulletproofs/device_verify.py) needs challenge arithmetic —
 powers, inner products, Fermat inversion — *inside* one jitted program, so
 a batch verification is a single host->device upload and a single boolean
 fetch. Host-side equivalents live in ops/exact.py (sc_*).
+
+The vectorized forms matter twice: at run time (the fold is one fused
+multiply-reduce instead of 24 dependent steps) and at compile time (a
+Montgomery CIOS mul traced to ~1.8k HLO ops per call site; a whole device
+shuffle verifier has hundreds of sites, which made XLA compiles take tens
+of minutes — the gather/einsum form traces to ~40).
 
 Bit-exact vs :mod:`quisquis_tpu.ops.exact` sc_* (tests/test_scalar_field.py).
 """
@@ -35,19 +49,12 @@ from . import exact as ex
 BITS = 11
 NLIMBS = 24
 MASK = (1 << BITS) - 1
+#: per-limb inclusive bound of the public "loose" contract
+LOOSE = (1 << 12) - 1
 L = ex.L
+INT32_MAX = 2**31 - 1
 
 _i32 = jnp.int32
-
-#: R = 2^(BITS*NLIMBS) = 2^264, the Montgomery radix
-R = 1 << (BITS * NLIMBS)
-R_MOD_L = R % L
-R2_MOD_L = (R * R) % L
-#: -l^-1 mod 2^BITS (the CIOS per-limb quotient constant)
-N0 = (-pow(L, -1, 1 << BITS)) % (1 << BITS)
-
-_L_LIMBS = np.array([(L >> (BITS * i)) & MASK for i in range(NLIMBS)],
-                    dtype=np.int32)
 
 
 def from_int(x: int) -> np.ndarray:
@@ -86,270 +93,415 @@ def const(x: int, shape=()) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.asarray(from_int(x)), shape + (NLIMBS,))
 
 
+def one(shape=()) -> jnp.ndarray:
+    return const(1, shape)
+
+
 # ---------------------------------------------------------------------------
-# carry handling
+# certified carry/fold reduction
 # ---------------------------------------------------------------------------
 
-def _carry_full(x: jnp.ndarray, width: int) -> jnp.ndarray:
-    """Exact little-endian carry propagation over `width` limbs.
+#: l < 2^253, so canonical values occupy 23 limbs; folding starts at limb 24
+#: (bit 264). CMAT[h] = canonical digits of 2^(11*(24+h)) mod l.
+_FOLD_POS = NLIMBS
+_CMAT_WIDTH = 23
 
-    Input limbs may be up to ~2^30; output limbs are < 2^11 except the last,
-    which absorbs the top carry. Sequential by construction (bit-exactness
-    forbids reassociation), unrolled at trace time.
+
+def _fold_row(pos: int) -> list:
+    v = pow(2, BITS * pos, L)
+    return [(v >> (BITS * i)) & MASK for i in range(_CMAT_WIDTH)]
+
+
+_CMAT_ROWS = NLIMBS + 8  # covers widths up to 56 limbs
+_CMAT_INT = [_fold_row(_FOLD_POS + h) for h in range(_CMAT_ROWS)]
+_CMAT = np.array(_CMAT_INT, dtype=np.int32)          # [32, 23]
+
+
+def _carry_step(x: jnp.ndarray, bounds: list) -> tuple:
+    """One parallel carry pass with exact bound propagation (width + 1)."""
+    nd = x.ndim
+    lo = jnp.bitwise_and(x, MASK)
+    hi = jnp.right_shift(x, BITS)
+    lo = jnp.pad(lo, [(0, 0)] * (nd - 1) + [(0, 1)])
+    hi = jnp.pad(hi, [(0, 0)] * (nd - 1) + [(1, 0)])
+    w = len(bounds)
+    nb = [0] * (w + 1)
+    for k in range(w + 1):
+        b_lo = min(bounds[k], MASK) if k < w else 0
+        b_hi = (bounds[k - 1] >> BITS) if k > 0 else 0
+        nb[k] = b_lo + b_hi
+    return lo + hi, nb
+
+
+def _fold_step(x: jnp.ndarray, bounds: list) -> tuple:
+    """Contract limbs >= 24 through CMAT: one int32 einsum, width -> 24."""
+    w = len(bounds)
+    rows = w - _FOLD_POS
+    assert 0 < rows <= _CMAT_ROWS
+    lo = x[..., :_FOLD_POS]
+    hi = x[..., _FOLD_POS:]
+    fold = jnp.einsum("...h,hj->...j", hi, jnp.asarray(_CMAT[:rows]))
+    nd = x.ndim
+    fold = jnp.pad(fold, [(0, 0)] * (nd - 1) + [(0, NLIMBS - _CMAT_WIDTH)])
+    nb = [0] * NLIMBS
+    for j in range(NLIMBS):
+        add = sum(bounds[_FOLD_POS + h] * _CMAT_INT[h][j]
+                  for h in range(rows)) if j < _CMAT_WIDTH else 0
+        nb[j] = bounds[j] + add
+        assert nb[j] <= INT32_MAX, (j, nb[j])
+    return lo + fold, nb
+
+
+def _fold_cols_fit(bounds: list) -> bool:
+    w = len(bounds)
+    rows = w - _FOLD_POS
+    if rows <= 0 or rows > _CMAT_ROWS:
+        return False
+    for j in range(_CMAT_WIDTH):
+        add = sum(bounds[_FOLD_POS + h] * _CMAT_INT[h][j] for h in range(rows))
+        if bounds[j] + add > INT32_MAX:
+            return False
+    return True
+
+
+def _reduce_sf(x: jnp.ndarray, bounds: list) -> jnp.ndarray:
+    """Compose carry/fold passes until width == 24 and LOOSE holds.
+
+    Schedule chosen greedily at trace time from exact integer bounds;
+    every intermediate is asserted < 2^31 (overflow-free by construction).
     """
-    out = []
-    carry = jnp.zeros_like(x[..., 0])
-    for i in range(width):
-        v = x[..., i] + carry
-        out.append(v & MASK)
-        carry = v >> BITS
-    out[-1] = out[-1] | (carry << BITS)  # carry out of the top must be 0 for valid inputs
-    return jnp.stack(out, axis=-1)
-
-
-def _sub_l_if_ge(x: jnp.ndarray) -> jnp.ndarray:
-    """x in [0, 2l) with canonical limbs -> x mod l (one conditional subtract)."""
-    l_limbs = jnp.asarray(_L_LIMBS)
-    # y = x - l with borrow chain
-    ys = []
-    borrow = jnp.zeros_like(x[..., 0])
-    for i in range(NLIMBS):
-        v = x[..., i] - l_limbs[i] - borrow
-        ys.append(v & MASK)
-        borrow = (v >> BITS) & 1  # v in (-2^12, 2^11): borrow is 0 or 1
-    y = jnp.stack(ys, axis=-1)
-    ge = (borrow == 0)[..., None]
-    return jnp.where(ge, y, x)
+    bounds = list(bounds)
+    for _ in range(64):
+        while len(bounds) > NLIMBS and bounds[-1] == 0:
+            bounds.pop()
+            x = x[..., :len(bounds)]
+        w = len(bounds)
+        if w < NLIMBS:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, NLIMBS - w)])
+            bounds = bounds + [0] * (NLIMBS - w)
+            w = NLIMBS
+        if w == NLIMBS and all(b <= LOOSE for b in bounds):
+            return x
+        if w > NLIMBS and _fold_cols_fit(bounds):
+            x, bounds = _fold_step(x, bounds)
+        else:
+            x, bounds = _carry_step(x, bounds)
+    raise AssertionError(f"sf reduction did not converge: bounds={bounds}")
 
 
 # ---------------------------------------------------------------------------
-# Montgomery core
+# multiplication: gathered schoolbook columns
 # ---------------------------------------------------------------------------
 
-def _redc(t: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery reduction of product columns -> t/R mod l, canonical.
+_W = 2 * NLIMBS - 1  # 47 product columns
 
-    t: [..., 2*NLIMBS] column sums (int32, each < ~2^27). 24 CIOS steps:
-    make limb i divisible by 2^11 by adding m_i * l (one broadcasted
-    multiply-add over a static 24-wide slice), push the carry up, drop the
-    limb. Bounds are certified at trace time by exact interval arithmetic:
-    every intermediate is proven < 2^31 (no int32 overflow by construction).
-
-    Output value < T/R + l; for canonical inputs that's < 2l (one
-    conditional subtract), and for full-width 24-limb inputs (< 2^264, as
-    from byte loads) it's < 3l — two subtracts cover both.
-    """
-    l_vec = jnp.asarray(_L_LIMBS)
-    hi = [24 * MASK * MASK] * (2 * NLIMBS)
-    for i in range(NLIMBS):
-        m = (t[..., i] * N0) & MASK
-        t = t.at[..., i:i + NLIMBS].add(m[..., None] * l_vec)
-        for j in range(NLIMBS):
-            hi[i + j] += MASK * int(_L_LIMBS[j])
-            assert hi[i + j] < 2**31, (i, j, hi[i + j])
-        # limb i is now divisible by 2^11; fold it into limb i+1
-        t = t.at[..., i + 1].add(t[..., i] >> BITS)
-        hi[i + 1] += hi[i] >> BITS
-        assert hi[i + 1] < 2**31
-    # result columns t[24..47]; total value < 3l << 2^264, so the exact
-    # carry pass cannot overflow the top limb
-    out = []
-    carry = jnp.zeros_like(t[..., 0])
-    carry_hi = 0
-    for i in range(NLIMBS):
-        v = t[..., NLIMBS + i] + carry
-        assert hi[NLIMBS + i] + carry_hi < 2**31
-        out.append(v & MASK)
-        carry = v >> BITS
-        carry_hi = (hi[NLIMBS + i] + carry_hi) >> BITS
-    x = jnp.stack(out, axis=-1)
-    return _sub_l_if_ge(_sub_l_if_ge(x))
+# shift index: SHIFT_IDX[i, k] = (k - i) mod _W; rows >= NLIMBS of the padded
+# operand are zero, so out-of-band offsets contribute nothing.
+_SHIFT_IDX = np.zeros((NLIMBS, _W), dtype=np.int32)
+for _i in range(NLIMBS):
+    for _k in range(_W):
+        _SHIFT_IDX[_i, _k] = (_k - _i) % _W
 
 
 def _school_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[..., 2*NLIMBS] schoolbook partial-product columns (canonical inputs).
+    """[..., 47] schoolbook columns via one gather + multiply-reduce.
 
-    Vectorized over the limb axis (24 broadcasted multiply + shifted adds),
-    not 576 scalar multiplies — keeps the traced graph small enough that a
-    whole on-device verifier (dozens of muls) compiles quickly.
+    Gathers before broadcasting so constant operands fold to one [24, 47]
+    table instead of batch-sized constants.
     """
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, batch + (NLIMBS,))
-    b = jnp.broadcast_to(b, batch + (NLIMBS,))
-    w = 2 * NLIMBS
-    pad_cfg = [(0, 0)] * len(batch)
-    cols = jnp.zeros(batch + (w,), dtype=_i32)
-    for i in range(NLIMBS):
-        term = a[..., i:i + 1] * b
-        cols = cols + jnp.pad(term, pad_cfg + [(i, w - NLIMBS - i)])
-    return cols
+    bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, _W - NLIMBS)])
+    shifted = jnp.take(bp, jnp.asarray(_SHIFT_IDX), axis=-1)  # [..., 24, 47]
+    return jnp.sum(a[..., :, None] * shifted, axis=-2)
+
+
+_SCHOOL_BOUNDS = [
+    min(k + 1, NLIMBS, _W - k) * LOOSE * LOOSE for k in range(_W)
+]
+assert max(_SCHOOL_BOUNDS) <= INT32_MAX
 
 
 def _mul_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return _redc(_school_cols(a, b))
+    return _reduce_sf(_school_cols(a, b), _SCHOOL_BOUNDS)
 
 
-#: Montgomery product (a * b / R) mod l; jitted so the dozens of call sites
-#: inside a device verifier share one lowered computation per shape
+#: (a * b) mod l on loose limbs; jitted so call sites share one computation
 mul = jax.jit(_mul_impl)
 
 
-def to_mont(x: jnp.ndarray) -> jnp.ndarray:
-    return mul(x, const(R2_MOD_L, x.shape[:-1]))
-
-
-def _from_mont_impl(x: jnp.ndarray) -> jnp.ndarray:
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, NLIMBS)]
-    return _redc(jnp.pad(x, pad))
-
-
-from_mont = jax.jit(_from_mont_impl)
-
-
 def _add_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return _sub_l_if_ge(_carry_full(a + b, NLIMBS))
+    return _reduce_sf(a + b, [2 * LOOSE] * NLIMBS)
 
 
-#: (a + b) mod l for canonical-limb inputs (any representation); jitted
 add = jax.jit(_add_impl)
 
 
 def _neg_bias() -> np.ndarray:
-    digits = [(2 * L >> (BITS * i)) & MASK for i in range(NLIMBS)]
-    tl = np.array(digits, dtype=np.int64)
-    # rebalance so each digit >= MASK (a's max), keeping the value 2l
-    for i in range(NLIMBS - 1):
-        if tl[i] < MASK:
-            k = -(-(MASK - tl[i]) // (1 << BITS))
-            tl[i] += k << BITS
-            tl[i + 1] -= k
-    assert all(0 <= d < 2**26 for d in tl)
-    assert sum(int(d) << (BITS * i) for i, d in enumerate(tl)) == 2 * L
-    return tl.astype(np.int32)
+    """Digits of 2^16 * l (25 limbs), rebalanced so limbs 0..23 >= LOOSE."""
+    v = (1 << 16) * L
+    nl = NLIMBS + 1
+    digits = [(v >> (BITS * i)) & MASK for i in range(nl)]
+    for i in range(NLIMBS):
+        if digits[i] < LOOSE:
+            k = -(-(LOOSE - digits[i]) // (1 << BITS))
+            digits[i] += k << BITS
+            digits[i + 1] -= k
+    assert all(d >= LOOSE for d in digits[:NLIMBS]), digits
+    assert digits[NLIMBS] >= 0
+    assert all(0 <= d < 2**26 for d in digits)
+    assert sum(d << (BITS * i) for i, d in enumerate(digits)) == v
+    return np.array(digits, dtype=np.int32)
 
 
 _NEG_BIAS = _neg_bias()
+_NEG_BOUNDS = [int(d) + LOOSE for d in _NEG_BIAS[:NLIMBS]] + [int(_NEG_BIAS[-1])]
 
 
-def _neg_impl(a: jnp.ndarray) -> jnp.ndarray:
-    """(-a) mod l: 2l - a, limb-wise nonnegative (bias digits rebalanced so
-    each dominates a canonical limb), then two conditional subtracts."""
-    out = _carry_full(jnp.asarray(_NEG_BIAS) - a, NLIMBS)
-    return _sub_l_if_ge(_sub_l_if_ge(out))
+def _pad25(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 1)])
+
+
+def _sub_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a, b = jnp.broadcast_arrays(a, b)
+    return _reduce_sf(_pad25(a) + jnp.asarray(_NEG_BIAS) - _pad25(b),
+                      _NEG_BOUNDS)
+
+
+sub = jax.jit(_sub_impl)
+
+
+def _neg_impl(b: jnp.ndarray) -> jnp.ndarray:
+    return _reduce_sf(jnp.asarray(_NEG_BIAS) - _pad25(b), _NEG_BOUNDS)
 
 
 neg = jax.jit(_neg_impl)
 
 
-def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return add(a, neg(b))
+# ---------------------------------------------------------------------------
+# canonicalization (exact digits, value in [0, l))
+# ---------------------------------------------------------------------------
+
+def _carry_scan_body(carry, limb):
+    v = limb + carry
+    return v >> BITS, jnp.bitwise_and(v, MASK)
 
 
-def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=-1)
+def _scan_carry(x: jnp.ndarray):
+    """Exact sequential carry; (digits [..., w] in [0, 2^11), carry out)."""
+    carry, digits = jax.lax.scan(
+        _carry_scan_body, x[..., 0] * 0, jnp.moveaxis(x, -1, 0))
+    return jnp.moveaxis(digits, 0, -1), carry
 
 
-def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == 0, axis=-1)
+# 2*delta where l = 2^252 + delta; 2^253 === -2*delta (mod l)
+_TWO_DELTA = 2 * (L - (1 << 252))
+_TD_NLIMBS = (_TWO_DELTA.bit_length() + BITS - 1) // BITS  # 12 limbs
+_TD_LIMBS = np.array([(_TWO_DELTA >> (BITS * i)) & MASK
+                      for i in range(_TD_NLIMBS)], dtype=np.int32)
+
+
+def _top_bias(max_top: int) -> np.ndarray:
+    """Smallest-ish multiple of l whose digits dominate max_top * 2delta."""
+    need = max_top * _TWO_DELTA
+    k = -(-need // L) + 1
+    v = k * L
+    digits = [(v >> (BITS * i)) & MASK for i in range(NLIMBS)]
+    # rebalance so limbs 0.._TD_NLIMBS dominate max_top * td_limb and no
+    # limb goes negative (the borrow cascades up to the 2^253 top digit)
+    for i in range(NLIMBS - 1):
+        lim = max_top * int(_TD_LIMBS[i]) if i < _TD_NLIMBS else 0
+        if digits[i] < lim:
+            kk = -(-(lim - digits[i]) // (1 << BITS))
+            digits[i] += kk << BITS
+            digits[i + 1] -= kk
+    assert all(d >= 0 for d in digits), digits
+    assert all(max_top * int(_TD_LIMBS[i]) <= digits[i]
+               for i in range(_TD_NLIMBS))
+    assert sum(d << (BITS * i) for i, d in enumerate(digits)) == v
+    return np.array(digits, dtype=np.int32)
+
+
+_TOP_BIAS_BIG = _top_bias(MASK)   # folds a top limb <= 2^11-1
+_TOP_BIAS_SMALL = _top_bias(8)    # folds a top limb <= 8
+
+# canonical digits of 2^264 mod l (for the carry-out fold)
+_F264 = from_int(pow(2, BITS * NLIMBS, L))
+
+
+def from_int_like(v: int) -> np.ndarray:
+    """Digits of an arbitrary v < 2^264 (no mod reduction)."""
+    return np.array([(v >> (BITS * i)) & MASK for i in range(NLIMBS)],
+                    dtype=np.int32)
+
+
+_L_DIGITS = from_int_like(L)
+_2L_DIGITS = from_int_like(2 * L)
+_3L_DIGITS = from_int_like(3 * L)
+
+
+def _lex_ge(x: jnp.ndarray, c: np.ndarray) -> jnp.ndarray:
+    """x (exact digits [..., 24]) >= constant c (digits), lexicographic."""
+    diff = x - jnp.asarray(c)
+    nz = diff != 0
+    # index of most significant nonzero limb (0 if none)
+    last = (NLIMBS - 1) - jnp.argmax(nz[..., ::-1], axis=-1)
+    top = jnp.take_along_axis(diff, last[..., None], axis=-1)[..., 0]
+    return jnp.where(jnp.any(nz, axis=-1), top > 0, True)
+
+
+def _canonicalize_impl(x: jnp.ndarray) -> jnp.ndarray:
+    """Loose limbs [..., 24] -> exact canonical digits of (value mod l)."""
+    # 1. exact carry; fold the carry-out (value >> 264 <= 2 for loose
+    #    inputs) via 2^264 mod l; exact carry again (value now < 2^264,
+    #    so the second carry-out is 0)
+    digits, carry = _scan_carry(x)
+    x = digits + carry[..., None] * jnp.asarray(_F264)
+    digits, _ = _scan_carry(x)
+    # 2. fold the top limb t = bits 253..263 (2^253 === -2delta mod l):
+    #    add a bias multiple of l whose digits dominate t*2delta, keeping
+    #    every limb nonnegative; then exact carry (value < 2^253 + 2^140)
+    top = digits[..., NLIMBS - 1]
+    x = digits.at[..., NLIMBS - 1].set(0) + jnp.asarray(_TOP_BIAS_BIG)
+    x = x.at[..., :_TD_NLIMBS].add(-top[..., None] * jnp.asarray(_TD_LIMBS))
+    digits, _ = _scan_carry(x)
+    # 3. the top limb is now <= 2; one more (small-bias) fold makes the
+    #    value < 2^253 + 2l < 4l
+    top = digits[..., NLIMBS - 1]
+    x = digits.at[..., NLIMBS - 1].set(0) + jnp.asarray(_TOP_BIAS_SMALL)
+    x = x.at[..., :_TD_NLIMBS].add(-top[..., None] * jnp.asarray(_TD_LIMBS))
+    digits, _ = _scan_carry(x)
+    # 4. exact conditional subtract: k = sum [v >= j*l] in {0..3};
+    #    the final carry scan's arithmetic shifts handle negative limbs
+    k = (_lex_ge(digits, _3L_DIGITS).astype(_i32)
+         + _lex_ge(digits, _2L_DIGITS).astype(_i32)
+         + _lex_ge(digits, _L_DIGITS).astype(_i32))
+    digits, _ = _scan_carry(digits - k[..., None] * jnp.asarray(_L_DIGITS))
+    return digits
+
+
+canonicalize = jax.jit(_canonicalize_impl)
+
+
+def _eq_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(_canonicalize_impl(a) == _canonicalize_impl(b), axis=-1)
+
+
+eq = jax.jit(_eq_impl)
+
+
+def _is_zero_impl(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(_canonicalize_impl(a) == 0, axis=-1)
+
+
+is_zero = jax.jit(_is_zero_impl)
 
 
 # ---------------------------------------------------------------------------
-# byte I/O (device-side)
+# byte I/O (device-side, vectorized)
 # ---------------------------------------------------------------------------
+
+def _split_maps(nlimbs: int, nbytes: int):
+    """Constant index/shift vectors for byte->limb extraction."""
+    q = np.zeros(nlimbs, np.int32)
+    r = np.zeros(nlimbs, np.int32)
+    for i in range(nlimbs):
+        q[i], r[i] = divmod(BITS * i, 8)
+    q0 = np.minimum(q, nbytes - 1)
+    q1 = np.minimum(q + 1, nbytes - 1)
+    q2 = np.minimum(q + 2, nbytes - 1)
+    m1 = (q + 1 < nbytes).astype(np.int32)
+    m2 = (q + 2 < nbytes).astype(np.int32)
+    return q0, q1, q2, r, m1, m2
+
+
+def _limbs_from_bytes(b: jnp.ndarray, nlimbs: int) -> jnp.ndarray:
+    """[..., k] int32 LE bytes -> [..., nlimbs] 11-bit limbs (raw split)."""
+    k = b.shape[-1]
+    q0, q1, q2, r, m1, m2 = _split_maps(nlimbs, k)
+    v = (jnp.take(b, jnp.asarray(q0), axis=-1) >> jnp.asarray(r)) \
+        | (jnp.take(b, jnp.asarray(q1), axis=-1) * jnp.asarray(m1)
+           << jnp.asarray(8 - r)) \
+        | (jnp.take(b, jnp.asarray(q2), axis=-1) * jnp.asarray(m2)
+           << jnp.asarray(16 - r))
+    return v & MASK
+
+
+def _from_bytes_impl(b: jnp.ndarray) -> jnp.ndarray:
+    """[..., 32] int32 LE bytes -> loose limbs of (value mod l)."""
+    return _reduce_sf(_limbs_from_bytes(b, NLIMBS), [MASK] * NLIMBS)
+
+
+from_bytes = jax.jit(_from_bytes_impl)
+
+_WIDE_LIMBS = (512 + BITS - 1) // BITS  # 47
+
 
 def _from_bytes_wide_impl(b: jnp.ndarray) -> jnp.ndarray:
-    """[..., 64] int32 LE bytes -> canonical limbs of (value mod l), in
-    MONTGOMERY form (ready for `mul`). The challenge-derivation shape
-    (Scalar::from_bytes_mod_order_wide, transcript.rs:77-81).
-    """
-    lo = _limbs_from_bytes(b[..., :33], NLIMBS)          # bits 0..263
-    hi = _limbs_from_bytes(b[..., 33:], 2 * NLIMBS - 24)  # bits 264..511
-    # value = lo + hi * 2^264 ; in Montgomery form: v*R = lo*R + hi*(2^264 R)
-    lo_m = to_mont(lo)
-    hi_m = to_mont(_pad_limbs(hi))
-    f = const(R_MOD_L, b.shape[:-1])  # 2^264 mod l, NON-Montgomery
-    # hi_m * f (f non-mont) = hi * 2^264 * R / R ... careful: mul is Montgomery.
-    # mont_mul(hi_m, to_mont(f)) = hi * 2^264 * R mod l  == to_mont(hi * 2^264)
-    hi_term = mul(hi_m, to_mont(f))
-    return add(lo_m, hi_term)
+    """[..., 64] int32 LE bytes -> loose limbs of (value mod l); the
+    challenge-derivation shape (Scalar::from_bytes_mod_order_wide,
+    /root/reference/src/accounts/transcript.rs:77-81)."""
+    limbs = _limbs_from_bytes(b, _WIDE_LIMBS)
+    return _reduce_sf(limbs, [MASK] * _WIDE_LIMBS)
 
 
 from_bytes_wide = jax.jit(_from_bytes_wide_impl)
 
 
-def _from_bytes_impl(b: jnp.ndarray) -> jnp.ndarray:
-    # 32 bytes = 256 bits fit the 24-limb (264-bit) load; to_mont reduces
-    return to_mont(_limbs_from_bytes(b, NLIMBS))
+_PACK_L = np.zeros(32, np.int32)
+_PACK_OFF = np.zeros(32, np.int32)
+for _j in range(32):
+    _PACK_L[_j], _PACK_OFF[_j] = divmod(8 * _j, BITS)
+_PACK_L1 = np.minimum(_PACK_L + 1, NLIMBS - 1)
+_PACK_M1 = ((_PACK_OFF > BITS - 8) & (_PACK_L + 1 < NLIMBS)).astype(np.int32)
 
 
-#: [..., 32] int32 LE bytes -> canonical limbs mod l, Montgomery form
-from_bytes = jax.jit(_from_bytes_impl)
-
-
-def _limbs_from_bytes(b: jnp.ndarray, nlimbs: int) -> jnp.ndarray:
-    """[..., k] int32 bytes (LE) -> [..., nlimbs] 11-bit limbs (raw split).
-
-    Caller guarantees 11*nlimbs >= 8*k (all bits land in limbs).
-    """
-    k = b.shape[-1]
-    out = []
-    for i in range(nlimbs):
-        bitpos = BITS * i
-        j, off = divmod(bitpos, 8)
-        v = jnp.zeros_like(b[..., 0]) if j >= k else b[..., j] >> off
-        if j + 1 < k:
-            v = v | (b[..., j + 1] << (8 - off))
-        if j + 2 < k and 16 - off < BITS + 8:
-            v = v | (b[..., j + 2] << (16 - off))
-        out.append(v & MASK)
-    return jnp.stack(out, axis=-1)
-
-
-def _pad_limbs(x: jnp.ndarray) -> jnp.ndarray:
-    w = x.shape[-1]
-    if w >= NLIMBS:
-        return x[..., :NLIMBS]
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, NLIMBS - w)]
-    return jnp.pad(x, pad)
+def _pack_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact canonical digits [..., 24] -> [..., 32] int32 LE bytes."""
+    v = (jnp.take(x, jnp.asarray(_PACK_L), axis=-1)
+         >> jnp.asarray(_PACK_OFF)) \
+        | (jnp.take(x, jnp.asarray(_PACK_L1), axis=-1) * jnp.asarray(_PACK_M1)
+           << jnp.asarray(BITS - _PACK_OFF))
+    return v & 0xFF
 
 
 def _to_bytes_array_impl(x: jnp.ndarray) -> jnp.ndarray:
-    """Canonical NON-Montgomery limbs -> [..., 32] int32 LE bytes (device)."""
-    out = []
-    for j in range(32):
-        bitpos = 8 * j
-        l_, off = divmod(bitpos, BITS)
-        v = x[..., l_] >> off
-        if off > BITS - 8 and l_ + 1 < NLIMBS:
-            v = v | (x[..., l_ + 1] << (BITS - off))
-        out.append(v & 0xFF)
-    return jnp.stack(out, axis=-1)
+    """Loose limbs -> [..., 32] int32 LE bytes of the canonical value."""
+    return _pack_bytes(_canonicalize_impl(x))
 
 
-#: canonical NON-Montgomery limbs -> [..., 32] int32 LE bytes (device)
 to_bytes_array = jax.jit(_to_bytes_array_impl)
+
+
+_NIB_L = np.zeros(64, np.int32)
+_NIB_OFF = np.zeros(64, np.int32)
+for _j in range(64):
+    _NIB_L[_j], _NIB_OFF[_j] = divmod(4 * _j, BITS)
+_NIB_L1 = np.minimum(_NIB_L + 1, NLIMBS - 1)
+_NIB_M1 = ((_NIB_OFF > BITS - 4) & (_NIB_L + 1 < NLIMBS)).astype(np.int32)
+
+
+def _to_nibbles_impl(x: jnp.ndarray) -> jnp.ndarray:
+    """Loose limbs [..., 24] -> [..., 64] little-endian 4-bit MSM digits."""
+    c = _canonicalize_impl(x)
+    v = (jnp.take(c, jnp.asarray(_NIB_L), axis=-1) >> jnp.asarray(_NIB_OFF)) \
+        | (jnp.take(c, jnp.asarray(_NIB_L1), axis=-1) * jnp.asarray(_NIB_M1)
+           << jnp.asarray(BITS - _NIB_OFF))
+    return v & 0xF
+
+
+to_nibbles = jax.jit(_to_nibbles_impl)
 
 
 # ---------------------------------------------------------------------------
 # higher ops
 # ---------------------------------------------------------------------------
 
-ONE_MONT_LIMBS = from_int(R_MOD_L)       # 1 in Montgomery form
-
-
-def one_mont(shape=()) -> jnp.ndarray:
-    return jnp.broadcast_to(jnp.asarray(ONE_MONT_LIMBS), shape + (NLIMBS,))
-
-
 def pow_const(a: jnp.ndarray, e: int) -> jnp.ndarray:
-    """a^e (Montgomery form) for a trace-time constant exponent e >= 0.
+    """a^e mod l for a trace-time constant exponent e >= 0.
 
     Small exponents unroll; large ones run a `fori_loop` over the exponent
-    bits (compile-time stays bounded; 530 Montgomery muls would otherwise
-    trace to ~700k HLO ops).
-    """
+    bits (compile size stays bounded)."""
     if e == 0:
-        return one_mont(a.shape[:-1])
+        return one(a.shape[:-1])
     bits = bin(e)[2:]
     if len(bits) <= 16:
         acc = a
@@ -372,16 +524,16 @@ def _invert_impl(a: jnp.ndarray) -> jnp.ndarray:
     return pow_const(a, L - 2)
 
 
-#: a^(l-2) (Montgomery form): Fermat inversion (square-and-multiply under
-#: fori_loop; fixed operation order for bit-exactness); jitted
+#: a^(l-2) mod l: Fermat inversion (square-and-multiply under fori_loop;
+#: fixed operation order for bit-exactness); jitted
 invert = jax.jit(_invert_impl)
 
 
 def batch_invert_rows(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery-trick inversion along the second-to-last axis.
 
-    a: [..., n, NLIMBS] (Montgomery form, all nonzero) -> elementwise
-    inverses with ONE Fermat inversion + 3(n-1) multiplications.
+    a: [..., n, NLIMBS] (all nonzero) -> elementwise inverses with ONE
+    Fermat inversion + 3(n-1) multiplications.
     """
     n = a.shape[-2]
     prefix = [a[..., 0, :]]
@@ -397,11 +549,11 @@ def batch_invert_rows(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def powers(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[..., NLIMBS] -> [..., n, NLIMBS]: 1, x, x^2, ..., x^(n-1) (Montgomery).
+    """[..., NLIMBS] -> [..., n, NLIMBS]: 1, x, x^2, ..., x^(n-1).
 
     Log-depth doubling: powers[0:2^k] extend by powers * x^(2^k).
     """
-    out = [one_mont(x.shape[:-1]), x]
+    out = [one(x.shape[:-1]), x]
     if n == 1:
         return out[0][..., None, :]
     cur = jnp.stack(out, axis=-2)  # [..., 2, NLIMBS]
@@ -415,13 +567,11 @@ def powers(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 # host conversion helpers ------------------------------------------------
 
-def scalars_to_mont(xs) -> jnp.ndarray:
-    """Python ints -> device Montgomery limbs [n, NLIMBS]."""
-    return jnp.asarray(from_int_batch([x * R % L for x in xs]))
+def scalars_to_dev(xs) -> jnp.ndarray:
+    """Python ints -> device limbs [n, NLIMBS] (canonical)."""
+    return jnp.asarray(from_int_batch(xs))
 
 
-def mont_to_scalars(x: jnp.ndarray) -> list:
-    """Device Montgomery limbs -> python ints (host fetch)."""
-    vals = to_int_batch(np.asarray(x))
-    rinv = pow(R, -1, L)
-    return [v * rinv % L for v in vals]
+def dev_to_scalars(x: jnp.ndarray) -> list:
+    """Device loose limbs -> python ints (host fetch)."""
+    return to_int_batch(np.asarray(canonicalize(x)))

@@ -46,7 +46,7 @@ from ..primitives.pedersen import default_pedersen_gens, vector_pedersen_gens
 from ..bulletproofs.device_verify import (_decompress_u8, _to_nibbles,
                                           _sf_tree_sum, _sf_tree_prod,
                                           _ext_concat, _msm_jit,
-                                          _run_nocache)
+                                          _P_DIGITS)
 
 L = ex.L
 
@@ -57,23 +57,8 @@ def _limbs_from_wire32_impl(b: jnp.ndarray):
     For encode-comparisons: a compressed-point byte string equals a
     canonical device encoding iff the limb views match AND the wire itself
     is canonical (value < p, top bit clear)."""
-    limbs = []
-    for i in range(fe.NLIMBS):
-        bitpos = fe.BITS * i
-        j, off = divmod(bitpos, 8)
-        v = b[..., j] >> off
-        if j + 1 < 32:
-            v = v | (b[..., j + 1] << (8 - off))
-        if j + 2 < 32:
-            v = v | (b[..., j + 2] << (16 - off))
-        limbs.append(v & fe.MASK)
-    raw = jnp.stack(limbs, axis=-1)
-    p_limbs = [(ex.P >> (fe.BITS * i)) & fe.MASK for i in range(fe.NLIMBS)]
-    borrow = jnp.zeros_like(raw[..., 0])
-    for i in range(fe.NLIMBS):
-        v = raw[..., i] - p_limbs[i] - borrow
-        borrow = (v >> fe.BITS) & 1
-    ge_p = borrow == 0
+    raw = sf._limbs_from_bytes(b, fe.NLIMBS)   # shared 11x24 radix
+    ge_p = sf._lex_ge(raw, _P_DIGITS)
     top_bit = (b[..., 31] >> 7) & 1
     ok = jnp.logical_and(jnp.logical_not(ge_p), top_bit == 0)
     return ok, raw
@@ -98,15 +83,14 @@ _add_jit = jax.jit(pt.add_raw)
 _sum_points_jit = jax.jit(pt.sum_points_raw, static_argnums=1)
 
 
-def _mul_pt(s_mont: jnp.ndarray, p: pt.ExtPoint) -> pt.ExtPoint:
-    """Per-lane scalar multiplication: s [..., 24] Montgomery, p [...]."""
-    nib = _to_nibbles(sf.from_mont(s_mont))
-    return _scalar_mul_jit(nib, p)
+def _mul_pt(s: jnp.ndarray, p: pt.ExtPoint) -> pt.ExtPoint:
+    """Per-lane scalar multiplication: s [..., 24] loose limbs, p [...]."""
+    return _scalar_mul_jit(_to_nibbles(s), p)
 
 
-def _msm_lane(s_mont: jnp.ndarray, p: pt.ExtPoint) -> pt.ExtPoint:
+def _msm_lane(s: jnp.ndarray, p: pt.ExtPoint) -> pt.ExtPoint:
     """Per-lane MSM over the second axis: s [B, k, 24], p [B, k] -> [B]."""
-    return _sum_points_jit(_mul_pt(s_mont, p), 1)
+    return _sum_points_jit(_mul_pt(s, p), 1)
 
 
 class _LaneChecks:
@@ -118,8 +102,8 @@ class _LaneChecks:
     accounts.deferred.DeferredPointChecks).
     """
 
-    def __init__(self, weights_mont: jnp.ndarray):
-        self._w = weights_mont      # [B, NCHECKS, 24]
+    def __init__(self, weights: jnp.ndarray):
+        self._w = weights           # [B, NCHECKS, 24]
         self._ctr = 0
         self._scal: List[jnp.ndarray] = []
         self._pts: List[pt.ExtPoint] = []
@@ -140,8 +124,7 @@ class _LaneChecks:
             scal = jnp.concatenate([scal, sf.zeros((npad - n,))])
             idp = pt.identity((npad - n,))
             pts = _ext_concat([pts, idp])
-        nib = _to_nibbles(sf.from_mont(scal))
-        return pt.is_identity_raw(_msm_jit(nib, pts))
+        return pt.is_identity_raw(_msm_jit(_to_nibbles(scal), pts))
 
 
 def _broadcast_static(points, batch: int) -> pt.ExtPoint:
@@ -188,7 +171,7 @@ class DeviceShuffleVerifier:
         self._static_pts = ([xpc.H] + xpc.G_vec[:m]
                             + [pc.B, pc.B_blinding, self._base_g,
                                self._base_h, c_minus_one, sum_g])
-        self._verify_jit = jax.jit(self._build)
+        self._verify_jit = jax.jit(self._build, static_argnums=4)
 
     # ---------------------------------------------------------------- layout
 
@@ -273,7 +256,7 @@ class DeviceShuffleVerifier:
 
     # ---------------------------------------------------------------- device
 
-    def _build(self, comp, scal, weights, states):
+    def _build(self, comp, scal, weights, states, frame):
         m, N, B = self.m, self.N, self.batch
         P = self._point_layout()
         S = self._scalar_layout()
@@ -291,10 +274,10 @@ class DeviceShuffleVerifier:
 
         def sc(name) -> jnp.ndarray:
             a, b_ = S[name]
-            return sf.from_bytes(scal[:, a:b_])     # Montgomery [B, k, 24]
+            return sf.from_bytes(scal[:, a:b_])     # loose limbs [B, k, 24]
 
-        w_mont = sf.from_bytes_wide(weights)        # [B, NCHECKS, 24]
-        checks = _LaneChecks(w_mont)
+        w_limbs = sf.from_bytes_wide(weights)       # [B, NCHECKS, 24]
+        checks = _LaneChecks(w_limbs)
 
         statics = _broadcast_static(self._static_pts, B)
 
@@ -314,12 +297,12 @@ class DeviceShuffleVerifier:
             return pt.ExtPoint(*(jnp.concatenate(cs, axis=1)
                                  for cs in zip(*plist)))
 
-        one = sf.one_mont((B,))
+        one = sf.one((B,))
         neg1 = sf.neg(one)
 
         # ---------------- transcript ----------------
         dt = object.__new__(DeviceTranscript)
-        dt.strobe = DeviceStrobe.from_host_states(states, *self._prefix_frame)
+        dt.strobe = DeviceStrobe.from_host_states(states, *frame)
 
         for i in range(m):
             dt.append_point_var(b"ACommitment", wire("c_A")[:, i])
@@ -358,13 +341,13 @@ class DeviceShuffleVerifier:
                       jnp.broadcast_to(wj, (B, m, m, sf.NLIMBS)))
         eye = np.eye(m, dtype=bool)
         pair = jnp.where(jnp.asarray(eye)[None, :, :, None],
-                         sf.one_mont((B, m, m)), pair)
+                         sf.one((B, m, m)), pair)
         # product over j for each i: reduce pair [B, m(i), m(j), 24] on axis 2
         denom = pair
         nred = m
         while nred > 1:
             if nred % 2:
-                padv = sf.one_mont((B, m, 1))
+                padv = sf.one((B, m, 1))
                 denom = jnp.concatenate([denom, padv], axis=2)
                 nred += 1
             h = nred // 2
@@ -411,9 +394,9 @@ class DeviceShuffleVerifier:
         # ---------------- y, z + product statement ----------------
         y = sf.from_bytes_wide(dt.get_challenge_bytes(b"yChallenge"))
         z = sf.from_bytes_wide(dt.get_challenge_bytes(b"zChallenge"))
-        idx_mont = jnp.asarray(sf.from_int_batch(
-            [(i + 1) * sf.R % L for i in range(N)]))   # i+1 in Montgomery
-        terms = sf.sub(sf.add(sf.mul(y[:, None, :], idx_mont[None]), exp_x),
+        idx_sc = jnp.asarray(sf.from_int_batch(
+            [i + 1 for i in range(N)]))                # i+1 as limbs
+        terms = sf.sub(sf.add(sf.mul(y[:, None, :], idx_sc[None]), exp_x),
                        jnp.broadcast_to(z[:, None, :], exp_x.shape))
         product = _sf_tree_prod(terms)              # [B, 24]
         svp_blind = sc("svp_blind")
@@ -697,8 +680,6 @@ class DeviceShuffleVerifier:
 
     # ---------------------------------------------------------------- host
 
-    _prefix_frame = (0, 0, 0)
-
     def _pack(self, entries, transcripts):
         from ..accounts.transcript import Transcript
         from ..accounts.verifier import Verifier
@@ -836,40 +817,25 @@ class DeviceShuffleVerifier:
         frame = snaps[0][1:]
         if any(s[1:] != frame for s in snaps):
             raise ValueError("lane transcripts diverged in framing")
-        if frame != self._prefix_frame:
-            self._prefix_frame = frame
-            jax.clear_caches()
-            self._verify_jit = jax.jit(self._build)
         states = np.stack([np.frombuffer(s[0], np.uint8)
                            for s in snaps]).astype(np.int32)
-        return comp.astype(np.int32), scal.astype(np.int32), states
+        return comp.astype(np.int32), scal.astype(np.int32), states, frame
 
     def verify(self, entries, transcripts=None, rng=None) -> None:
         """entries: (proof, statement, input accounts, output accounts) x B.
         Raises ValueError unless every lane verifies."""
-        comp, scal, states = self._pack(entries, transcripts)
+        comp, scal, states, frame = self._pack(entries, transcripts)
         nbytes = self.batch * self.NCHECKS * 64
         wbytes = os.urandom(nbytes) if rng is None else rng.fill_bytes(nbytes)
         weights = np.frombuffer(wbytes, np.uint8).reshape(
             self.batch, self.NCHECKS, 64).astype(np.int32)
-        ok = _run_nocache(self._verify_jit, jnp.asarray(comp),
-                          jnp.asarray(scal), jnp.asarray(weights),
-                          jnp.asarray(states))
+        ok = self._verify_jit(jnp.asarray(comp), jnp.asarray(scal),
+                              jnp.asarray(weights), jnp.asarray(states),
+                              frame)
         if not bool(ok):
             raise ValueError("Device batched shuffle verification failed")
 
 
-def _limbs_to_bytes_dev_impl(x: jnp.ndarray) -> jnp.ndarray:
-    """Canonical field limbs [..., 24] -> [..., 32] int32 LE bytes."""
-    out = []
-    for j in range(32):
-        bitpos = 8 * j
-        l_, off = divmod(bitpos, fe.BITS)
-        v = x[..., l_] >> off
-        if off > fe.BITS - 8 and l_ + 1 < fe.NLIMBS:
-            v = v | (x[..., l_ + 1] << (fe.BITS - off))
-        out.append(v & 0xFF)
-    return jnp.stack(out, axis=-1)
-
-
-_limbs_to_bytes_dev = jax.jit(_limbs_to_bytes_dev_impl)
+#: canonical field limbs [..., 24] -> [..., 32] int32 LE bytes (the field
+#: and scalar engines share the 11x24 radix, so the packer is shared too)
+_limbs_to_bytes_dev = jax.jit(sf._pack_bytes)

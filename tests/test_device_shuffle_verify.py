@@ -1,21 +1,16 @@
 """On-device batched shuffle verification vs the host verifier.
 
-Gated behind QQ_DEVICE_SHUFFLE_TESTS=1: the one-program shuffle verifier
-compiles in minutes-to-tens-of-minutes (XLA spends superlinear time on the
-big integer graphs; compilation is one-time and persistently cached, but
-too slow for the default CI loop). Correctness was validated with this
-file on 2026-08-19; run it explicitly after touching the device verifier,
-transcript, or scalar-field layers.
+Runs UN-gated in CI: the round-3 vectorized limb engines (gathered
+schoolbook + matrix-fold reduction in ops/scalar_field.py and
+ops/field.py, scanned window tables in ops/point.py) cut the traced
+verifier graph ~15x, so the one-time XLA compile fits the normal test
+loop and lands in the persistent cache.
 """
 
 import dataclasses
 import os
 
 import pytest
-
-pytestmark = pytest.mark.skipif(
-    os.environ.get("QQ_DEVICE_SHUFFLE_TESTS") != "1",
-    reason="compile-expensive; set QQ_DEVICE_SHUFFLE_TESTS=1 to run")
 
 from quisquis_tpu.accounts.transcript import Transcript, SeededRng
 from quisquis_tpu.accounts.prover import Prover

@@ -74,7 +74,7 @@ def test_device_transcript_challenges():
 
     from quisquis_tpu.ops import scalar_field as sf
     ch = dt.get_challenge_bytes(b"y")
-    got = sf.mont_to_scalars(sf.from_bytes_wide(ch))
+    got = sf.dev_to_scalars(sf.from_bytes_wide(ch))
     want = [h.get_challenge(b"y") for h in hosts]
     assert got == want
 
@@ -87,7 +87,7 @@ def test_device_transcript_challenges():
     dt2.append_scalar_var(b"t_x", arr2)
     for h, p in zip(hosts2, canon):
         h.append_message(b"t_x", p)
-    got2 = sf.mont_to_scalars(sf.from_bytes_wide(dt2.get_challenge_bytes(b"x")))
+    got2 = sf.dev_to_scalars(sf.from_bytes_wide(dt2.get_challenge_bytes(b"x")))
     want2 = [h.get_challenge(b"x") for h in hosts2]
     assert got2 == want2
 
@@ -100,7 +100,7 @@ def test_from_host_transcripts_bridge():
     dt = DeviceTranscript.from_host_transcripts(hosts)
     dt.append_message(b"dom-sep", b"rangeproof v1")
     from quisquis_tpu.ops import scalar_field as sf
-    got = sf.mont_to_scalars(sf.from_bytes_wide(dt.get_challenge_bytes(b"c")))
+    got = sf.dev_to_scalars(sf.from_bytes_wide(dt.get_challenge_bytes(b"c")))
     want = []
     for h in hosts:
         h.append_message(b"dom-sep", b"rangeproof v1")
