@@ -274,3 +274,54 @@ class DeferredPointChecks:
             coords.append(jnp.asarray(c))
         out = qmsm.msm(jnp.asarray(nib), pt.ExtPoint(*coords))
         return bool(pt.is_identity(out))
+
+
+class DeviceBatchCollector:
+    """Collects embedded shuffle and range proofs from a batch of
+    transaction verifications for one-program device verification.
+
+    The host replays each transaction's transcript in advance-only mode
+    (appends + challenge pulls, no scalar vectors, no MSM terms), cloning
+    the transcript at each embedded proof boundary; the clones ship to the
+    device verifiers as batched STROBE prefix states, and the entire
+    embedded-proof verification — transcript replay, challenge arithmetic,
+    the combined MSM — runs on the accelerator
+    (bulletproofs/shuffle device_verify). Sigma checks stay on the host
+    (eager first-message recomputations + a small deferred MSM).
+    """
+
+    def __init__(self):
+        self.shuffle_entries: list = []
+        self.shuffle_transcripts: list = []
+        self.range_instances: dict = {}   # n_bits -> [(proof, V, transcript)]
+
+    def add_shuffle(self, entry, transcript) -> None:
+        """entry: (proof, statement, inputs, outputs); transcript: a host
+        Transcript clone taken BEFORE the proof's first append."""
+        self.shuffle_entries.append(entry)
+        self.shuffle_transcripts.append(transcript)
+
+    def add_range(self, proof, commitments, transcript, n_bits: int) -> None:
+        """transcript: a clone taken before the rangeproof dom-sep."""
+        self.range_instances.setdefault(int(n_bits), []).append(
+            (proof, list(commitments), transcript))
+
+    @property
+    def num_proofs(self) -> int:
+        return (len(self.shuffle_entries)
+                + sum(len(v) for v in self.range_instances.values()))
+
+    def verify(self, rng=None) -> None:
+        """Run the collected proofs on device; raises ValueError on any
+        failure (grouped and padded per shape by the dispatchers)."""
+        if self.shuffle_entries:
+            from ..shuffle.device_verify import device_batch_verify
+
+            device_batch_verify(self.shuffle_entries,
+                                transcripts=self.shuffle_transcripts,
+                                rng=rng)
+        if self.range_instances:
+            from ..bulletproofs.device_verify import device_batch_verify
+
+            for n_bits, insts in sorted(self.range_instances.items()):
+                device_batch_verify(insts, n_bits, rng=rng)

@@ -190,14 +190,23 @@ class Verifier:
 
     def verify_non_negative_sender_receiver_bulletproof_batch_verifier(
         self, epsilon_account: Sequence[Account], proof, defer=None,
+        collector=None,
     ) -> None:
         """Aggregated 64-bit range-proof verification over the epsilon
         accounts' `d` points (verifier.rs:504-523). With `defer`, the MSM
         terms join the cross-proof batch (transcript work still happens
-        here, in sequence)."""
+        here, in sequence). With `collector`
+        (accounts.deferred.DeviceBatchCollector), the proof is snapshotted
+        for one-program device verification and only the transcript
+        advances here."""
         self.new_domain_sep(b"AggregateBulletProof")
         commitments = [acc.comm.d for acc in epsilon_account]
-        if defer is None:
+        if collector is not None:
+            collector.add_range(proof, commitments, self.transcript.clone(),
+                                _config().range_bits)
+            proof.advance_transcript(self.transcript, commitments,
+                                     _config().range_bits)
+        elif defer is None:
             proof.verify_multiple(self.transcript, commitments,
                                   _config().range_bits)
         else:
@@ -207,12 +216,18 @@ class Verifier:
 
     def verify_non_negative_sender_receiver_bulletproof_vector_verifier(
         self, epsilon_account: Sequence[Account], proof_vector: Sequence,
-        defer=None,
+        defer=None, collector=None,
     ) -> None:
         """Per-value range-proof verification (verifier.rs:534-555)."""
         self.new_domain_sep(b"AggregateBulletProof")
         commitments = [acc.comm.d for acc in epsilon_account]
-        if defer is None:
+        if collector is not None:
+            for proof, com in zip(proof_vector, commitments):
+                collector.add_range(proof, [com], self.transcript.clone(),
+                                    _config().range_bits)
+                proof.advance_transcript(self.transcript, [com],
+                                         _config().range_bits)
+        elif defer is None:
             for proof, com in zip(proof_vector, commitments):
                 proof.verify_single(self.transcript, com,
                                     _config().range_bits)

@@ -333,3 +333,55 @@ class DeviceRangeVerifier:
                               frame)
         if not bool(ok):
             raise ValueError("Device batched range-proof verification failed")
+
+
+# ---------------------------------------------------------------------------
+# production dispatch: shape-bucketed verifier instances
+# ---------------------------------------------------------------------------
+
+_VERIFIER_CACHE: dict = {}
+
+
+def get_device_range_verifier(n: int, m: int, batch: int,
+                              transcript_label: bytes = b"RangeProof"
+                              ) -> DeviceRangeVerifier:
+    """Process-wide cache of compiled verifier instances, keyed by shape.
+
+    XLA compiles one executable per (n, m, batch, prefix-frame); reusing
+    instances keeps a serving process at a handful of resident programs.
+    """
+    key = (n, m, batch, bytes(transcript_label))
+    v = _VERIFIER_CACHE.get(key)
+    if v is None:
+        v = _VERIFIER_CACHE.setdefault(
+            key, DeviceRangeVerifier(n, m, batch, transcript_label))
+    return v
+
+
+def device_batch_verify(instances, n: int, rng=None,
+                        min_bucket: int = 4) -> None:
+    """Verify [(proof, value_commitments, transcript), ...] entirely on
+    device: group by aggregation width m, pad each group to a power-of-two
+    lane bucket (duplicate lanes re-verify an existing entry — harmless),
+    and run each group as ONE jitted program.
+
+    This is the TPU-native successor of the host `RangeProof.batch_verify`
+    (reference hot path: /root/reference/src/accounts/verifier.rs:504-555):
+    instead of replaying B transcripts serially on the host and evaluating
+    one MSM, all B transcripts replay in lockstep on the VPU and the MSM
+    runs in the same program. Raises ValueError if any proof fails.
+    """
+    groups: dict = {}
+    for inst in instances:
+        # bucket by aggregation width AND transcript framing: lanes of one
+        # program must share the static STROBE frame (mixed standalone /
+        # embedded proofs land in separate buckets)
+        frame = snapshot_host_strobe(inst[2].strobe)[1:]
+        groups.setdefault((len(inst[1]), frame), []).append(inst)
+    for (m, _), group in sorted(groups.items()):
+        B = max(min_bucket, 1 << (len(group) - 1).bit_length())
+        padded = group + [group[0]] * (B - len(group))
+        drv = get_device_range_verifier(n, m, B)
+        drv.verify([p for p, _, _ in padded],
+                   [V for _, V, _ in padded],
+                   transcripts=[t for _, _, t in padded], rng=rng)

@@ -235,7 +235,7 @@ class RangeProof:
     def batch_verify(instances: Sequence[Tuple["RangeProof", Sequence[bytes],
                                                Transcript]],
                      n: int, rng: Optional[SeededRng] = None,
-                     defer=None) -> None:
+                     defer=None, backend: str = "auto") -> None:
         """Batch verification across many independent proofs (the crate's
         `yoloproofs` behavior): every proof's two checks are folded, with
         per-equation random weights, into ONE multiscalar multiplication
@@ -246,13 +246,39 @@ class RangeProof:
         verification would start from. Raises ValueError if the combined
         check fails (at least one proof in the batch is invalid).
 
+        backend:
+          - "host": replay transcripts here; evaluate one MSM via the
+            deferred accumulator (native Pippenger / device by size).
+          - "device-batched": hand the whole batch to the one-program
+            device verifier (bulletproofs.device_verify) — transcripts,
+            challenge arithmetic, and the MSM all run on the accelerator.
+          - "auto": device-batched when a TPU is already initialized and
+            the batch is big enough to amortize dispatch; host otherwise.
+
         With `defer` (accounts.deferred.DeferredPointChecks), the combined
         terms join an even larger cross-protocol batch (e.g. all range AND
         shuffle checks of a transaction batch in one device MSM) instead of
         being evaluated here; per-equation weights then come from the
-        accumulator.
+        accumulator, and the backend selection is the accumulator's.
         """
         from ..accounts.deferred import DeferredPointChecks
+
+        if backend not in ("auto", "host", "device-batched"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "auto" and defer is None:
+            import sys
+            if ("jax" in sys.modules and len(instances) >= 16
+                    and __import__("jax").default_backend() == "tpu"):
+                backend = "device-batched"
+        if backend == "device-batched":
+            if defer is not None:
+                raise ValueError(
+                    "device-batched backend evaluates its own MSM; "
+                    "it cannot feed a deferred accumulator")
+            from .device_verify import device_batch_verify
+
+            device_batch_verify(instances, n, rng=rng)
+            return
 
         own = defer is None
         if own:
@@ -338,6 +364,44 @@ class RangeProof:
 
         if own:
             defer.verify(backend="auto")
+
+    def advance_transcript(self, transcript: Transcript,
+                           value_commitments: Sequence[bytes],
+                           n: int) -> None:
+        """Replay ONLY the transcript interactions of a verification (all
+        appends and challenge pulls, results discarded), advancing
+        `transcript` to the post-proof state without any scalar or point
+        work.
+
+        Used by the device-batched transaction path: the host transcript
+        must continue past an embedded range proof (later sigma checks
+        depend on its state) while the actual verification maths runs on
+        device from a snapshot taken before this call.
+        """
+        m = len(value_commitments)
+        nm = n * m
+        transcript.append_message(b"dom-sep", b"rangeproof v1")
+        transcript.append_u64(b"n", n)
+        transcript.append_u64(b"m", m)
+        for vb in value_commitments:
+            transcript.append_message(b"V", vb)
+        transcript.append_message(b"A", self.A)
+        transcript.append_message(b"S", self.S)
+        transcript.get_challenge(b"y")
+        transcript.get_challenge(b"z")
+        transcript.append_message(b"T_1", self.T_1)
+        transcript.append_message(b"T_2", self.T_2)
+        transcript.get_challenge(b"x")
+        transcript.append_scalar_var(b"t_x", self.t_x)
+        transcript.append_scalar_var(b"t_x_blinding", self.t_x_blinding)
+        transcript.append_scalar_var(b"e_blinding", self.e_blinding)
+        transcript.get_challenge(b"w")
+        transcript.append_message(b"dom-sep", b"ipp v1")
+        transcript.append_u64(b"n", nm)
+        for L_b, R_b in zip(self.ipp_proof.L_vec, self.ipp_proof.R_vec):
+            transcript.append_message(b"L", L_b)
+            transcript.append_message(b"R", R_b)
+            transcript.get_challenge(b"u")
 
     # ------------------------------------------------------------------ serde
 

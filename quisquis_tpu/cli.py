@@ -132,7 +132,10 @@ def batch_demo(count: int = 4) -> None:
     dt = time.perf_counter() - t0
     print(f"built {count} transactions    : {dt*1e3:.0f} ms")
     t0 = time.perf_counter()
-    batch_verify_transactions(items)
+    # explicit host backend: on a TPU rig, "auto" resolves to the
+    # device-batched verifiers, whose one-time XLA compile is wrong for an
+    # interactive demo (serving/bench surfaces pay it once and cache it)
+    batch_verify_transactions(items, backend="host")
     dt = time.perf_counter() - t0
     print(f"batch verification         : OK ({dt*1e3:.0f} ms total, "
           f"{dt*1e3/count:.1f} ms/tx, one combined MSM)")

@@ -121,7 +121,7 @@ class _PoolService:
 
     def __init__(self, workers: Optional[int] = None,
                  seed: Optional[bytes] = None, backend: str = "host"):
-        if backend not in ("host", "device", "merged-host"):
+        if backend not in ("host", "device", "merged-host", "device-batched"):
             raise ValueError(f"unknown serving backend {backend!r}")
         self.workers = workers or (os.cpu_count() or 1)
         self.backend = backend
@@ -212,9 +212,15 @@ class VerificationService(_PoolService):
         host MSM per chunk).
       - "device": workers replay transcripts and export their weighted
         point-identity terms; the parent folds every chunk into ONE MSM
-        on the TPU (the serving shape the device is built for).
+        on the TPU.
       - "merged-host": like "device" but the single merged MSM runs on
         the host native backend (for apples-to-apples comparison).
+      - "device-batched": the embedded shuffle and range proofs of every
+        transaction run as one-program device verifications (batched
+        transcript replay + challenge arithmetic + MSM all on chip,
+        shape-bucketed verifier instances); the host only advances
+        transcripts and runs the small sigma checks. The worker pool is
+        not used — the accelerator replaces it as the parallel resource.
 
     Accepts everything or raises ValueError naming the failing chunk; the
     soundness argument is the same random-linear-combination MSM batching
@@ -227,6 +233,16 @@ class VerificationService(_PoolService):
         pairs = list(pairs)
         if not pairs:
             return 0
+        if self.backend == "device-batched":
+            from .utils import serde
+            from .transaction.transaction import batch_verify_transactions
+
+            items = [(serde.transaction_from_bytes(txb),
+                      serde.transaction_proof_from_bytes(pfb))
+                     for txb, pfb in pairs]
+            batch_verify_transactions(items, backend="device-batched",
+                                      seed=self._chunk_seed(0))
+            return len(items)
         nchunks = min(self.workers, len(pairs))
         chunks = [pairs[i::nchunks] for i in range(nchunks)]
         worker = _verify_chunk if self.backend == "host" else _collect_tx_chunk
@@ -263,6 +279,20 @@ class ShuffleVerificationService(_PoolService):
         blobs = list(blobs)
         if not blobs:
             return 0
+        if self.backend == "device-batched":
+            from .utils import serde
+            from .accounts.transcript import Transcript
+            from .accounts.verifier import Verifier
+            from .shuffle.device_verify import device_batch_verify
+
+            entries = [serde.shuffle_entry_from_bytes(b) for b in blobs]
+            transcripts = []
+            for _ in entries:
+                t = Transcript(self.transcript_label)
+                Verifier(self.proof_label, t)   # appends the proof dom-sep
+                transcripts.append(t)
+            device_batch_verify(entries, transcripts=transcripts)
+            return len(entries)
         nchunks = min(self.workers, len(blobs))
         chunks = [blobs[i::nchunks] for i in range(nchunks)]
         return self._drive(_collect_shuffle_chunk, chunks,

@@ -839,3 +839,62 @@ class DeviceShuffleVerifier:
 #: canonical field limbs [..., 24] -> [..., 32] int32 LE bytes (the field
 #: and scalar engines share the 11x24 radix, so the packer is shared too)
 _limbs_to_bytes_dev = jax.jit(sf._pack_bytes)
+
+
+# ---------------------------------------------------------------------------
+# production dispatch: shape-bucketed verifier instances
+# ---------------------------------------------------------------------------
+
+_VERIFIER_CACHE: dict = {}
+
+
+def get_device_shuffle_verifier(m: int, batch: int,
+                                proof_label: bytes = b"Shuffle",
+                                transcript_label: bytes = b"ShuffleProof"
+                                ) -> DeviceShuffleVerifier:
+    """Process-wide cache of compiled verifier instances, keyed by shape."""
+    key = (m, batch, bytes(proof_label), bytes(transcript_label))
+    v = _VERIFIER_CACHE.get(key)
+    if v is None:
+        v = _VERIFIER_CACHE.setdefault(
+            key, DeviceShuffleVerifier(m, batch, proof_label,
+                                       transcript_label))
+    return v
+
+
+def device_batch_verify(entries, transcripts=None, rng=None,
+                        min_bucket: int = 2) -> None:
+    """Verify [(proof, statement, inputs, outputs), ...] entirely on device.
+
+    Groups by anonymity-set size, pads each group to a power-of-two lane
+    bucket (duplicate lanes re-verify an existing entry — harmless) and
+    runs each group as ONE jitted program: batched STROBE transcript
+    replay, challenge arithmetic, per-lane scalar-muls, and the combined
+    19-check MSM. The TPU-native successor of looping the host verifier
+    (/root/reference/src/shuffle/shuffle.rs:547-712).
+
+    `transcripts`, when given, are per-entry host Transcript objects in the
+    pre-proof state (for shuffles embedded in a larger protocol). All
+    entries of one shape group must share transcript framing.
+    """
+    import math
+
+    groups: dict = {}
+    for i, e in enumerate(entries):
+        n_acc = len(e[2])
+        # lanes of one program must share the static STROBE frame; mixed
+        # standalone / embedded prefixes bucket separately
+        frame = (None if transcripts is None
+                 else snapshot_host_strobe(transcripts[i].strobe)[1:])
+        groups.setdefault((n_acc, frame), []).append(i)
+    for (n_acc, _), idxs in sorted(groups.items(),
+                                   key=lambda kv: repr(kv[0])):
+        m = math.isqrt(n_acc)
+        if m * m != n_acc:
+            raise ValueError(f"anonymity set size {n_acc} is not square")
+        B = max(min_bucket, 1 << (len(idxs) - 1).bit_length())
+        pad_idx = idxs + [idxs[0]] * (B - len(idxs))
+        dsv = get_device_shuffle_verifier(m, B)
+        ts = None if transcripts is None else [transcripts[i]
+                                               for i in pad_idx]
+        dsv.verify([entries[i] for i in pad_idx], transcripts=ts, rng=rng)

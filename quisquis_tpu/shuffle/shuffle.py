@@ -331,6 +331,93 @@ class ShuffleProof:
             xpc_gens, pk_GH, exp_x, m, n_cols, defer=defer)
 
 
+def _advance_shuffle_transcript(proof: ShuffleProof, verifier: Verifier,
+                                statement: ShuffleStatement,
+                                shuffle_input: Sequence[Account]) -> None:
+    """Replay ONLY the transcript interactions of ShuffleProof.verify,
+    advancing the verifier's transcript to the post-proof state with no
+    scalar-vector or point-identity work (that runs on device from a
+    snapshot taken before this call).
+
+    The one unavoidable computation is the DDH section: the transcript
+    absorbs the *encodings* of (G, H) = sum x^i pk_i and of the Schnorr
+    first-message recomputation, so those two MSMs and two 2-term folds
+    run here (native backend, microseconds at N<=64). The append/challenge
+    schedule below is the host verifier's, byte-for-byte (validated
+    end-to-end by tests/test_device_transaction.py: the continued
+    transcript must produce the exact challenges of the sigma checks that
+    follow it inside a transaction).
+    """
+    m, _ = _dims(len(shuffle_input))
+    t = verifier.transcript
+    for ca, ctau in zip(proof.c_A, proof.c_tau):
+        t.append_point_var(b"ACommitment", ca)
+        t.append_point_var(b"tauCommitment", ctau)
+    x = t.get_challenge(b"xChallenge")
+    for cb, cbd in zip(proof.c_B, proof.c_B_dash):
+        t.append_point_var(b"BCommitment", cb)
+        t.append_point_var(b"BDashCommitment", cbd)
+    # Hadamard argument
+    had = proof.hadamard_proof
+    t.domain_sep(b"HadamardProductProof")
+    for i in range(m):
+        t.append_point_var(b"c_a", proof.c_B_dash[i])
+        t.append_point_var(b"c_b", proof.c_tau[i])
+        t.append_point_var(b"c_c", proof.c_B[i])
+    t.append_point_var(b"c_a_0", had.commitment_a_0)
+    t.append_point_var(b"c_b_0", had.commitment_b_0)
+    t.append_point_var(b"c_c_0", had.commitment_c_0)
+    for cd in had.commitment_delta:
+        t.append_point_var(b"c_delta", cd)
+    t.get_challenge(b"challenge")
+    t.get_challenge(b"yChallenge")
+    t.get_challenge(b"zChallenge")
+    # Product argument: MultiHadamard -> Zero -> SVP
+    mh = proof.product_proof.multi_hadamard_proof
+    t.domain_sep(b"MultiHadamardProductProof")
+    for cb in mh.c_B:
+        t.append_point_var(b"BVectorCommitment", cb)
+    t.get_challenge(b"XChallenge")
+    t.get_challenge(b"YChallenge")
+    zp = mh.zero_proof
+    t.domain_sep(b"ZeroArgumentProof")
+    t.append_point_var(b"A0Commitment", zp.c_A_0)
+    t.append_point_var(b"BmCommitment", zp.c_B_m)
+    for cd in zp.c_D:
+        t.append_point_var(b"DCommitment", cd)
+    t.get_challenge(b"challenge")
+    svp = proof.product_proof.svp_proof
+    t.domain_sep(b"SingleValueProductProof")
+    t.append_point_var(b"DeltaSmall", svp.commitment_delta_small)
+    t.append_point_var(b"DeltaCapital", svp.commitment_delta_capital)
+    t.append_point_var(b"d", svp.commitment_d)
+    t.get_challenge(b"challenge")
+    # DDH: the encodings of (G, H) and of the first-message recomputation
+    # feed the transcript, so this section runs eagerly (it is also the
+    # one host-side challenge equality check retained here)
+    exp_x = vectorutil.exp_iter(x, len(shuffle_input), skip=1)
+    g_i = [acc.pk.gr_point for acc in shuffle_input]
+    h_i = [acc.pk.grsk_point for acc in shuffle_input]
+    G, H = ex.pt_msm_many([(exp_x, g_i), (exp_x, h_i)])
+    proof.ddh_proof.verify_ddh_proof(verifier, statement.ddh_statement,
+                                     _enc(G), _enc(H))
+    # Multi-exponentiation arguments (pubkey, then commitment)
+    for label, me in ((b"MultiExponentialPubKeyProof",
+                       proof.multi_exponen_pk),
+                      (b"MultiExponentialElgamalCommmitmentProof",
+                       proof.multi_exponen_commit)):
+        t.domain_sep(label)
+        t.append_point_var(b"A0Commitment", me.c_A_0)
+        for k in range(2 * m):
+            t.append_point_var(b"BKCommitment", me.c_B_k[k])
+            t.append_point_var(b"EK0Commitment", me.E_k_0[k])
+            t.append_point_var(b"EK1Commitment", me.E_k_1[k])
+        t.get_challenge(b"xchallenege")
+
+
+ShuffleProof.advance_transcript = _advance_shuffle_transcript
+
+
 def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
                                 mesh=None, seed=None, workers=None) -> None:
     """Verify many shuffle proofs with ONE combined MSM (the TPU batch path).
@@ -339,10 +426,15 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
     Every point-identity check from every proof is scaled by a fresh random
     weight and merged into a single multiscalar multiplication
     (accounts.deferred.DeferredPointChecks) evaluated once on the chosen
-    backend: "host" native Pippenger, "device" Pallas MSM pipeline, or
-    "sharded" with the point axis split over a `jax.sharding.Mesh`.
-    Per-proof transcript challenge derivation stays on the host (sequential
-    Keccak, cheap); the heavy verifier recombinations ride one MSM.
+    backend: "host" native Pippenger, "device" Pallas MSM pipeline,
+    "sharded" with the point axis split over a `jax.sharding.Mesh`, or
+    "device-batched" — the whole verifier (batched transcript replay,
+    challenge arithmetic, AND the combined MSM) as one jitted device
+    program per shape bucket (shuffle.device_verify). With host backends,
+    per-proof transcript challenge derivation stays on the host
+    (sequential Keccak, cheap) and the heavy verifier recombinations ride
+    one MSM. "auto" picks device-batched when a TPU is initialized and the
+    batch amortizes dispatch, else the host path.
 
     The eager equivalent loops `proof.verify(...)` per proof
     (reference behavior, /root/reference/src/shuffle/shuffle.rs:547-712).
@@ -355,6 +447,23 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
     from ..accounts.deferred import DeferredPointChecks
 
     entries = list(entries)
+    if backend == "auto" and entries and xpc_gens is None:
+        import sys
+        if ("jax" in sys.modules and len(entries) >= 4
+                and __import__("jax").default_backend() == "tpu"):
+            backend = "device-batched"
+    if backend == "device-batched":
+        from .device_verify import device_batch_verify
+        from ..accounts.transcript import SeededRng
+
+        if xpc_gens is not None:
+            raise ValueError(
+                "device-batched backend uses the default generator set")
+        device_batch_verify(
+            [(p, st, ins, outs) for p, _, st, ins, outs in entries],
+            transcripts=[v.transcript for _, v, _, _, _ in entries],
+            rng=SeededRng(seed) if seed is not None else None)
+        return
     defer = DeferredPointChecks(seed)
     if workers is None:
         workers = 1

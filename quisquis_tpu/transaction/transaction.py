@@ -266,11 +266,15 @@ def create_transaction_r1cs(
 
 def verify_transaction_r1cs(tx: Transaction, proof: TransactionProof,
                             defer=None, backend: str = "auto",
-                            mesh=None) -> None:
+                            mesh=None, collector=None) -> None:
     """Standalone verification of an R1CS-path Transaction: the sigma and
     shuffle replay of verify_transaction, with non-negativity checked by
     the shared R1CS range-gadget constraint system and the output shuffle
-    on its fresh transcript (transaction.rs:426-428 semantics)."""
+    on its fresh transcript (transaction.rs:426-428 semantics).
+
+    `collector` diverts the two shuffle proofs to the device verifiers;
+    the R1CS range proof has no device twin and always verifies here.
+    """
     from ..accounts.deferred import DeferredPointChecks
     from ..accounts.rangeproof import RangeProofVerifier
 
@@ -283,9 +287,18 @@ def verify_transaction_r1cs(tx: Transaction, proof: TransactionProof,
     base_pk = RistrettoPublicKey.generate_base_pk()
 
     qq_verifier = Verifier(b"QuisQuis", Transcript(b"QuisQuisProof"))
-    proof.input_shuffle_proof.verify(
-        qq_verifier, proof.input_shuffle_statement,
-        tx.input_account_vector, tx.updated_account_vector, defer=defer)
+    if collector is not None:
+        collector.add_shuffle(
+            (proof.input_shuffle_proof, proof.input_shuffle_statement,
+             tx.input_account_vector, tx.updated_account_vector),
+            qq_verifier.transcript.clone())
+        proof.input_shuffle_proof.advance_transcript(
+            qq_verifier, proof.input_shuffle_statement,
+            tx.input_account_vector)
+    else:
+        proof.input_shuffle_proof.verify(
+            qq_verifier, proof.input_shuffle_statement,
+            tx.input_account_vector, tx.updated_account_vector, defer=defer)
 
     Verifier.verify_delta_identity_check(tx.account_epsilon_vector)
     zv, zr1, zr2, x = proof.delta_dleq
@@ -323,10 +336,19 @@ def verify_transaction_r1cs(tx: Transaction, proof: TransactionProof,
     rp_verifier.verify_proof(proof.range_proofs[0])
 
     osv = Verifier(b"Shuffle", Transcript(b"OutputShuffleProof"))
-    proof.output_shuffle_proof.verify(
-        osv, proof.output_shuffle_statement,
-        tx.account_updated_delta_vector, tx.output_account_vector,
-        defer=defer)
+    if collector is not None:
+        collector.add_shuffle(
+            (proof.output_shuffle_proof, proof.output_shuffle_statement,
+             tx.account_updated_delta_vector, tx.output_account_vector),
+            osv.transcript.clone())
+        proof.output_shuffle_proof.advance_transcript(
+            osv, proof.output_shuffle_statement,
+            tx.account_updated_delta_vector)
+    else:
+        proof.output_shuffle_proof.verify(
+            osv, proof.output_shuffle_statement,
+            tx.account_updated_delta_vector, tx.output_account_vector,
+            defer=defer)
 
     if own:
         defer.verify(backend=backend, mesh=mesh)
@@ -472,7 +494,8 @@ def create_transaction(
 
 
 def verify_transaction(tx: Transaction, proof: TransactionProof,
-                       defer=None, backend: str = "auto", mesh=None) -> None:
+                       defer=None, backend: str = "auto", mesh=None,
+                       collector=None) -> None:
     """Standalone verification of a Transaction (no prover secrets).
 
     Replays the exact verifier-transcript sequence of create_transaction:
@@ -485,6 +508,12 @@ def verify_transaction(tx: Transaction, proof: TransactionProof,
     Sigma checks recompute first messages into the transcript (eager,
     2-3-term MSMs); shuffle and range point-identities are collected into
     `defer` (or a local accumulator) and evaluated as ONE MSM on `backend`.
+
+    With `collector` (accounts.deferred.DeviceBatchCollector), the
+    embedded shuffle and range proofs are snapshotted for one-program
+    device verification instead: the host only advances the transcript
+    through them (appends + challenge pulls), and the caller runs
+    `collector.verify()` to evaluate every collected proof on device.
     """
     from ..accounts.deferred import DeferredPointChecks
 
@@ -498,9 +527,18 @@ def verify_transaction(tx: Transaction, proof: TransactionProof,
     tv = Transcript(b"QuisQuisProof")
     qq_verifier = Verifier(b"QuisQuis", tv)
 
-    proof.input_shuffle_proof.verify(
-        qq_verifier, proof.input_shuffle_statement,
-        tx.input_account_vector, tx.updated_account_vector, defer=defer)
+    if collector is not None:
+        collector.add_shuffle(
+            (proof.input_shuffle_proof, proof.input_shuffle_statement,
+             tx.input_account_vector, tx.updated_account_vector),
+            tv.clone())
+        proof.input_shuffle_proof.advance_transcript(
+            qq_verifier, proof.input_shuffle_statement,
+            tx.input_account_vector)
+    else:
+        proof.input_shuffle_proof.verify(
+            qq_verifier, proof.input_shuffle_statement,
+            tx.input_account_vector, tx.updated_account_vector, defer=defer)
 
     Verifier.verify_delta_identity_check(tx.account_epsilon_vector)
     zv, zr1, zr2, x = proof.delta_dleq
@@ -543,15 +581,28 @@ def verify_transaction(tx: Transaction, proof: TransactionProof,
                       + tx.account_epsilon_vector[sc:sc + rc])
     if len(proof.range_proofs) == 1:
         qq_verifier.verify_non_negative_sender_receiver_bulletproof_batch_verifier(
-            bp_epsilon_vec, proof.range_proofs[0], defer=defer)
+            bp_epsilon_vec, proof.range_proofs[0], defer=defer,
+            collector=collector)
     else:
         qq_verifier.verify_non_negative_sender_receiver_bulletproof_vector_verifier(
-            bp_epsilon_vec, proof.range_proofs, defer=defer)
+            bp_epsilon_vec, proof.range_proofs, defer=defer,
+            collector=collector)
 
-    proof.output_shuffle_proof.verify(
-        qq_verifier, proof.output_shuffle_statement,
-        tx.account_updated_delta_vector, tx.output_account_vector,
-        defer=defer)
+    if collector is not None:
+        collector.add_shuffle(
+            (proof.output_shuffle_proof, proof.output_shuffle_statement,
+             tx.account_updated_delta_vector, tx.output_account_vector),
+            tv.clone())
+        # nothing reads the transcript after the output shuffle, but the
+        # advance retains the host-side DDH challenge equality check
+        proof.output_shuffle_proof.advance_transcript(
+            qq_verifier, proof.output_shuffle_statement,
+            tx.account_updated_delta_vector)
+    else:
+        proof.output_shuffle_proof.verify(
+            qq_verifier, proof.output_shuffle_statement,
+            tx.account_updated_delta_vector, tx.output_account_vector,
+            defer=defer)
 
     if own:
         defer.verify(backend=backend, mesh=mesh)
@@ -559,7 +610,7 @@ def verify_transaction(tx: Transaction, proof: TransactionProof,
 
 def verify_transaction_auto(tx: Transaction, proof: TransactionProof,
                             defer=None, backend: str = "auto",
-                            mesh=None) -> None:
+                            mesh=None, collector=None) -> None:
     """Verify a transaction whichever range-proof path built it: dispatches
     on the proof bundle's range-proof type (aggregated bulletproof vs the
     shared-R1CS constraint system), so wire consumers (serde/serving) don't
@@ -568,9 +619,10 @@ def verify_transaction_auto(tx: Transaction, proof: TransactionProof,
 
     if proof.range_proofs and isinstance(proof.range_proofs[0], R1CSProof):
         verify_transaction_r1cs(tx, proof, defer=defer, backend=backend,
-                                mesh=mesh)
+                                mesh=mesh, collector=collector)
     else:
-        verify_transaction(tx, proof, defer=defer, backend=backend, mesh=mesh)
+        verify_transaction(tx, proof, defer=defer, backend=backend, mesh=mesh,
+                           collector=collector)
 
 
 def batch_verify_transactions(items: Sequence[Tuple[Transaction,
@@ -588,8 +640,31 @@ def batch_verify_transactions(items: Sequence[Tuple[Transaction,
     dominated by GIL-holding Python orchestration (measured: threads are a
     net loss), so true multi-core serving uses worker *processes* —
     see serving.VerificationService (139 vs 67 tx/s on a 4-core host).
+
+    backend "device-batched": the embedded shuffle and range proofs of
+    every transaction run as one-program device verifications (batched
+    transcript replay on the VPU, one MSM per shape bucket); the host only
+    advances transcripts and runs the small sigma checks. "auto" selects
+    it when a TPU is initialized and the batch is large enough.
     """
-    from ..accounts.deferred import DeferredPointChecks
+    from ..accounts.deferred import DeferredPointChecks, DeviceBatchCollector
+
+    if backend == "auto":
+        import sys
+        if ("jax" in sys.modules and len(items) >= 4
+                and __import__("jax").default_backend() == "tpu"):
+            backend = "device-batched"
+    if backend == "device-batched":
+        from ..accounts.transcript import SeededRng
+
+        collector = DeviceBatchCollector()
+        defer = DeferredPointChecks(seed)
+        for tx, proof in items:
+            verify_transaction_auto(tx, proof, defer=defer,
+                                    collector=collector)
+        collector.verify(rng=SeededRng(seed) if seed is not None else None)
+        defer.verify(backend="auto")
+        return
 
     defer = DeferredPointChecks(seed)
     if workers is None:

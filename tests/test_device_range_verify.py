@@ -90,3 +90,29 @@ def test_device_with_prefixed_transcripts():
     with pytest.raises(ValueError):
         drv.verify(proofs, vlists, transcripts=bad,
                    rng=SeededRng(seed=b"w5"))
+
+
+def test_batch_verify_device_batched_dispatch():
+    """RangeProof.batch_verify(backend="device-batched") groups by
+    aggregation width, pads to lane buckets, and matches the host verdict."""
+    rng = SeededRng(seed=b"disp")
+    instances = []
+    # three m=2 proofs (pads to 4 lanes) and one m=1 proof (own group)
+    proofs, vlists = make_batch(b"disp-m2")
+    for p, V in zip(proofs, vlists):
+        instances.append((p, V, Transcript(b"RangeProof")))
+    p1, V1 = RangeProof.prove_multiple(
+        Transcript(b"RangeProof"), [42], [rng.random_scalar()], N_BITS,
+        rng=rng)
+    instances.append((p1, V1, Transcript(b"RangeProof")))
+    RangeProof.batch_verify(instances, N_BITS, rng=rng,
+                            backend="device-batched")
+
+    # a tampered scalar in the m=1 group rejects through the dispatch path
+    blob = bytearray(p1.to_bytes())
+    blob[130] ^= 1
+    bad = RangeProof.from_bytes(bytes(blob))
+    instances[-1] = (bad, V1, Transcript(b"RangeProof"))
+    with pytest.raises(ValueError):
+        RangeProof.batch_verify(instances, N_BITS, rng=rng,
+                                backend="device-batched")

@@ -111,3 +111,27 @@ def test_device_rejects_swapped_accounts():
     dsv = DeviceShuffleVerifier(M, B)
     with pytest.raises(ValueError):
         dsv.verify(entries, rng=SeededRng(seed=b"w3"))
+
+
+def test_batch_verify_device_batched_dispatch():
+    """The production entry (shuffle.batch_verify_shuffle_proofs) routes to
+    the device verifier: odd batch size exercises shape bucketing/padding."""
+    from quisquis_tpu.shuffle.shuffle import batch_verify_shuffle_proofs
+
+    entries = make_entries(b"dsv-dispatch", count=3)
+    wrapped = [(p, Verifier(b"Shuffle", Transcript(b"ShuffleProof")),
+                st, ins, outs) for p, st, ins, outs in entries]
+    batch_verify_shuffle_proofs(wrapped, backend="device-batched",
+                                seed=b"disp")
+
+    # tampered lane still rejects through the dispatch path
+    bad = make_entries(b"dsv-dispatch-bad", count=3)
+    p, st, ins, outs = bad[2]
+    bad[2] = (dataclasses.replace(
+        p, c_B=[bytes([p.c_B[0][0] ^ 1]) + p.c_B[0][1:]] + p.c_B[1:]),
+        st, ins, outs)
+    wrapped = [(p, Verifier(b"Shuffle", Transcript(b"ShuffleProof")),
+                st, ins, outs) for p, st, ins, outs in bad]
+    with pytest.raises(ValueError):
+        batch_verify_shuffle_proofs(wrapped, backend="device-batched",
+                                    seed=b"disp2")

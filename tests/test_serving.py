@@ -188,3 +188,48 @@ def test_r1cs_transaction_through_wire_and_service():
             bad[-40] ^= 1
             with pytest.raises(ValueError):
                 svc.verify_wire([(pair[0], bytes(bad))])
+
+
+def test_service_device_batched_backend():
+    """backend='device-batched': embedded shuffle/range proofs run in the
+    one-program device verifiers; accept + reject paths."""
+    items = make_items(2, b"serving-devb")
+    pairs = [serialize_transaction(tx, pf) for tx, pf in items]
+    with VerificationService(workers=1, seed=b"svc-devb",
+                             backend="device-batched") as svc:
+        assert svc.verify_wire(pairs) == 2
+        blob = bytearray(pairs[1][1])
+        blob[40] ^= 1
+        bad = [pairs[0], (pairs[1][0], bytes(blob))]
+        with pytest.raises(ValueError):
+            svc.verify_wire(bad)
+
+
+def test_shuffle_service_device_batched_backend():
+    from quisquis_tpu.accounts.transcript import Transcript
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+    from quisquis_tpu.serving import ShuffleVerificationService
+    from quisquis_tpu.utils import serde
+
+    rng = SeededRng(seed=b"shsvc-devb")
+    accounts = []
+    for _ in range(9):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        accounts.append(acc)
+    blobs = []
+    for _ in range(2):
+        sh = Shuffle.input_shuffle(accounts, rng=rng)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=rng)
+        proof, stmt = ShuffleProof.create_shuffle_proof(prover, sh, rng=rng)
+        blobs.append(serde.shuffle_entry_to_bytes(
+            proof, stmt, sh.get_inputs_vector(), sh.get_outputs_vector()))
+    with ShuffleVerificationService(workers=1,
+                                    backend="device-batched") as svc:
+        assert svc.verify_wire(blobs) == 2
+        bad = bytearray(blobs[0])
+        bad[100] ^= 1
+        with pytest.raises(ValueError):
+            svc.verify_wire([bytes(bad), blobs[1]])
