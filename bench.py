@@ -122,6 +122,9 @@ def main() -> None:
         "vs_baseline": round(per_sec / target, 4),
         "impl": impl,
         "correct": correct,
+        # estimator version so cross-round numbers compare honestly:
+        # r01 used min-pairing ("min-pair-v1"); r02+ use this
+        "estimator": "median-slope-v2",
     }))
 
 

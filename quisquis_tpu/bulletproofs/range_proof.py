@@ -75,6 +75,12 @@ class RangeProof:
         m = len(values)
         assert m & (m - 1) == 0, "m must be a power of two"
         assert n in (8, 16, 32, 64)
+        for v in values:
+            if not 0 <= v < (1 << n):
+                # refuse to emit an unverifiable proof: the bit
+                # decomposition below would silently truncate to n bits
+                # while V commits the full value
+                raise ValueError(f"value out of range for {n}-bit proof")
         if rng is None:
             rng = SeededRng()
         pc = default_pedersen_gens()

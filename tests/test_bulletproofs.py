@@ -68,13 +68,12 @@ def test_range_proof_aggregated():
 
 def test_range_proof_out_of_range_fails():
     r = SeededRng(seed=b"rp8")
-    # a value >= 2^8 cannot be proven in 8 bits: honest prover math produces
-    # an invalid proof (t0 mismatch), so verification must fail
+    # a value >= 2^8 cannot be proven in 8 bits: the prover refuses at
+    # proving time (the bit decomposition would silently truncate while V
+    # commits the full value, emitting an unverifiable proof)
     t = Transcript(b"small range")
-    proof, V = RangeProof.prove_single(t, 300, r.random_scalar(), 8, rng=r)
-    t2 = Transcript(b"small range")
-    with pytest.raises(ValueError):
-        proof.verify_single(t2, V, 8)
+    with pytest.raises(ValueError, match="out of range"):
+        RangeProof.prove_single(t, 300, r.random_scalar(), 8, rng=r)
 
 
 def test_range_proof_wrong_commitment_fails():

@@ -76,6 +76,13 @@ def test_config_is_consumed_by_the_library():
         # proof sizes shrink with the bit width (32-bit -> one fewer IPP round)
         assert len(proofs[0].ipp_proof.L_vec) == 6  # log2(32*2)
 
+        # an out-of-range value (2^32) is REJECTED at proving time
+        import pytest
+        with pytest.raises(ValueError):
+            Prover(b"QQ", Transcript(b"Cfg32b"), rng=r) \
+                .verify_non_negative_sender_receiver_prover(
+                    [1 << 32, 9], rscalars)
+
         # mesh axis name flows from config
         from quisquis_tpu.parallel.mesh import make_mesh
         config.set_default(mesh_axis="points")
