@@ -85,6 +85,38 @@ def msm_pippenger_raw(nibbles: jnp.ndarray, points: pt.ExtPoint,
     return jax.lax.fori_loop(1, nw, body, acc)
 
 
+def msm_shared_base_raw(nibbles: jnp.ndarray,
+                        points: pt.ExtPoint) -> pt.ExtPoint:
+    """Batched MSM against ONE shared point set: nibbles [..., N, 64] over
+    points [N] -> per-batch-element totals [...].
+
+    The window table ([N, 16] small multiples) is built ONCE and shared by
+    every batch lane and window — the shape for proving workloads where B
+    lanes (or B sequential rounds) take different linear combinations of
+    the same fixed generator vector (bulletproofs A/S commitments, IPP
+    L/R rounds re-expressed over the original basis). Cost: 14 adds per
+    shared point + 64 * (lookup + N-tree reduction) per lane, with the
+    64-window Horner doubling chain amortized across all lanes.
+    """
+    batch = nibbles.shape[:-2]
+    n = nibbles.shape[-2]
+    table = pt._build_window_table(points)            # [N, 16, limbs]
+
+    def window_sum(w):
+        digits = nibbles[..., w]                      # [..., N]
+        sel = pt._lookup_16(table, digits)            # [..., N] points
+        return pt.sum_points_raw(sel, -1)             # [...]
+
+    def body(i, acc):
+        w = pt.NWINDOWS - 1 - i
+        for k in range(pt.WINDOW_BITS):
+            acc = pt.double_raw(acc, need_t=(k == pt.WINDOW_BITS - 1))
+        return pt.add_raw(acc, window_sum(w))
+
+    acc = window_sum(pt.NWINDOWS - 1)
+    return jax.lax.fori_loop(1, pt.NWINDOWS, body, acc)
+
+
 def msm_raw(nibbles: jnp.ndarray, points: pt.ExtPoint) -> pt.ExtPoint:
     """MSM over a batch axis: sum_i s_i * P_i -> single point (shape ()).
 

@@ -134,6 +134,21 @@ def _broadcast_static(points, batch: int) -> pt.ExtPoint:
                          for c in ext))
 
 
+def _barrier_pt(p: pt.ExtPoint) -> pt.ExtPoint:
+    """Fusion fence around a point tensor.
+
+    The one-program verifiers feed a few expensive producers (the batched
+    decompress, the consolidated scalar-mul phase) into MANY consumers;
+    without a fence XLA's producer fusion can duplicate those producers
+    into each consumer, compounding across phases until the executable,
+    while finite, effectively never finishes on TPU (observed: a [16]-lane
+    m=3 verify whose phases each run in <0.3s standalone did not complete
+    in 30 minutes fused). optimization_barrier pins the value to be
+    computed once.
+    """
+    return pt.ExtPoint(*jax.lax.optimization_barrier(tuple(p)))
+
+
 class DeviceShuffleVerifier:
     """Compiled batched verifier for shuffle proofs of one shape.
 
@@ -172,6 +187,11 @@ class DeviceShuffleVerifier:
                             + [pc.B, pc.B_blinding, self._base_g,
                                self._base_h, c_minus_one, sum_g])
         self._verify_jit = jax.jit(self._build, static_argnums=4)
+        #: debug knob: truncate the program after a named phase
+        #: ("decompress" | "hadamard" | "scalars" | "mulphase" | "ddh" |
+        #:  "multiexpo"); None = full verification. Used to bisect
+        #: backend-specific execution pathologies phase by phase.
+        self._stop_at = None
 
     # ---------------------------------------------------------------- layout
 
@@ -262,7 +282,10 @@ class DeviceShuffleVerifier:
         S = self._scalar_layout()
 
         ok_pts, pts_all = _decompress_u8(comp)
+        pts_all = _barrier_pt(pts_all)              # computed once, many uses
         lane_ok = jnp.all(ok_pts, axis=-1)          # [B]
+        if self._stop_at == "decompress":
+            return jnp.all(lane_ok)
 
         def pts(name) -> pt.ExtPoint:
             a, b_ = P[name]
@@ -390,6 +413,8 @@ class DeviceShuffleVerifier:
             [sf.mul(l0[:, None, :], exp_hx),
              sf.neg(rho_bar)[:, None, :], sf.neg(abc)], axis=1)
         checks.check(s_delta, _lane_cat([pts("had_delta"), H_pt, G_pts]))
+        if self._stop_at == "hadamard":
+            return jnp.logical_and(jnp.all(lane_ok), jnp.all(hx >= 0))
 
         # ---------------- y, z + product statement ----------------
         y = sf.from_bytes_wide(dt.get_challenge_bytes(b"yChallenge"))
@@ -479,6 +504,8 @@ class DeviceShuffleVerifier:
                         H_pt,
                         pt.ExtPoint(*(c[:, :m - 1] for c in G_pts))])
         checks.check(s5, p5)
+        if self._stop_at == "scalars":
+            return jnp.logical_and(jnp.all(lane_ok), jnp.all(sx >= 0))
 
         # ---------------- consolidated point phase ----------------
         # EVERY per-lane scalar multiplication in one batched call: the
@@ -512,7 +539,10 @@ class DeviceShuffleVerifier:
                                            (B, 1) + c.shape)
                           for c in pt.basepoint(()))),
         ])
-        prods = _mul_pt(mul_scal, mul_pts)      # ONE batched kernel
+        prods = _barrier_pt(_mul_pt(mul_scal, mul_pts))  # ONE batched kernel
+        if self._stop_at == "mulphase":
+            return jnp.logical_and(jnp.all(lane_ok),
+                                   jnp.all(~pt.is_identity_raw(prods)))
         off = 0
 
         def nxt(k):
@@ -554,8 +584,8 @@ class DeviceShuffleVerifier:
                              axis=1)
         checks.check(s2, _lane_cat([H_pt, G_pts, commit_D, c_Bm_pt]))
 
-        G_agg = _sum_points_jit(G_terms, 1)         # [B]
-        H_agg = _sum_points_jit(H_terms, 1)
+        G_agg = _barrier_pt(_sum_points_jit(G_terms, 1))   # [B]
+        H_agg = _barrier_pt(_sum_points_jit(H_terms, 1))
 
         # ---------------- DDH ----------------
         dt.domain_sep(b"DDHTupleProof")
@@ -582,6 +612,8 @@ class DeviceShuffleVerifier:
         dt.append_point_var(b"hr", _limbs_to_bytes_dev(_compress_jit(h_r)))
         ddh_rechal = sf.from_bytes_wide(dt.get_challenge_bytes(b"Challenge"))
         lane_ok = jnp.logical_and(lane_ok, sf.eq(ddh_rechal, ddh_chal))
+        if self._stop_at == "ddh":
+            return jnp.all(lane_ok)
 
         # ---------------- Multiexpo (pubkey) ----------------
         # pk_GH.gr == E_k_0[m] bytes
@@ -624,6 +656,8 @@ class DeviceShuffleVerifier:
             rows0=pts("out_c"), rows1=pts("out_d"),
             H_pt=H_pt, G_pts=G_pts, pc_B=pc_B, pc_Bb=pc_Bb, one=one)
 
+        if self._stop_at == "multiexpo":
+            return jnp.all(lane_ok)
         assert checks._ctr == self.NCHECKS, checks._ctr
         msm_ok = checks.verify_msm()
         return jnp.logical_and(jnp.all(lane_ok), msm_ok)
