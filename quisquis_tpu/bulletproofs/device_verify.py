@@ -153,7 +153,10 @@ class DeviceRangeVerifier:
         weights: [B, 2, 64] uniform bytes; states: [B, 200] STROBE states;
         frame: static (pos, pos_begin, cur_flags) of the uploaded states.
         """
-        n, m, B, nm, k = self.n, self.m, self.batch, self.nm, self.k
+        # B from the input shape (not self.batch): under shard_map the
+        # program runs on a per-device slice of the lane axis
+        n, m, nm, k = self.n, self.m, self.nm, self.k
+        B = comp.shape[0]
         ok_pts, pts = _decompress_u8(comp)       # [B, P], points [B, P]
         all_ok = jnp.all(ok_pts)
 
@@ -333,6 +336,42 @@ class DeviceRangeVerifier:
                               frame)
         if not bool(ok):
             raise ValueError("Device batched range-proof verification failed")
+
+    def verify_sharded(self, proofs, value_commitments, mesh,
+                       transcripts=None, rng=None) -> None:
+        """Verify the batch with the lane axis sharded over `mesh`
+        (BASELINE config 4 at multi-chip scale): each device runs the full
+        one-program verifier on its lane slice — transcript replay,
+        challenge arithmetic, and its slice's MSM are entirely local, and
+        the only collective is a one-integer psum of failure counts over
+        ICI. Raises ValueError unless every lane on every device passes."""
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        ndev = mesh.devices.size
+        if self.batch % ndev:
+            raise ValueError(f"batch {self.batch} not divisible by "
+                             f"{ndev} devices")
+        comp, scal, states, frame = self._pack(proofs, value_commitments,
+                                               transcripts)
+        nbytes = self.batch * 2 * 64
+        wbytes = os.urandom(nbytes) if rng is None else rng.fill_bytes(nbytes)
+        weights = np.frombuffer(wbytes, np.uint8).reshape(
+            self.batch, 2, 64).astype(np.int32)
+        axis = mesh.axis_names[0]
+        spec = P(axis)
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec,) * 4, out_specs=P())
+        def run(c, s, w, st):
+            ok = self._build(c, s, w, st, frame)
+            return jax.lax.psum(jnp.where(ok, 0, 1).astype(jnp.int32), axis)
+
+        nbad = jax.jit(run)(jnp.asarray(comp), jnp.asarray(scal),
+                            jnp.asarray(weights), jnp.asarray(states))
+        if int(nbad):
+            raise ValueError("Device batched range-proof verification "
+                             "failed (sharded)")
 
 
 # ---------------------------------------------------------------------------

@@ -247,11 +247,7 @@ def _mul_small_raw(a: jnp.ndarray, c: int) -> jnp.ndarray:
 mul_small = partial(jax.jit, static_argnums=1)(_mul_small_raw)
 
 
-# gathered-schoolbook shift table: _SHIFT_IDX[i, k] = (k - i) mod 47; the
-# padded operand is zero at rows >= NLIMBS, so out-of-band offsets vanish
-_MUL_W = 2 * NLIMBS - 1
-_SHIFT_IDX = np.array([[(k - i) % _MUL_W for k in range(_MUL_W)]
-                       for i in range(NLIMBS)], dtype=np.int32)
+_MUL_W = 2 * NLIMBS - 1  # 47 schoolbook product columns
 
 _MUL_COL_BOUNDS = [
     sum(CONTRACT[i] * CONTRACT[k - i]
@@ -269,11 +265,13 @@ def _mul_raw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     programs explode at XLA compile time) and hands XLA a single fused
     contraction at run time.
     """
-    # gather BEFORE broadcasting: when an operand is a trace-time constant
-    # (e.g. the curve d2 limbs), XLA folds the [24, 47] shifted table once;
-    # broadcasting first would make it fold batch-sized constants instead
+    # shifted copies via static rolls (slice+concat), NOT a gather: TPU
+    # lowers minor-axis gathers poorly, and building the table on the
+    # unbroadcast operand lets constant operands (e.g. the curve d2
+    # limbs) fold to one [24, 47] table
     bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, _MUL_W - NLIMBS)])
-    shifted = jnp.take(bp, jnp.asarray(_SHIFT_IDX), axis=-1)  # [..., 24, 47]
+    shifted = jnp.stack([jnp.roll(bp, i, axis=-1) for i in range(NLIMBS)],
+                        axis=-2)                              # [..., 24, 47]
     cols = jnp.sum(a[..., :, None] * shifted, axis=-2)
     return _reduce_bounded(cols, list(_MUL_COL_BOUNDS))
 

@@ -208,7 +208,15 @@ def _build_window_table(p: ExtPoint) -> ExtPoint:
         nxt = add_raw(acc, p)
         return nxt, nxt
 
-    _, mult = jax.lax.scan(body, p, None, length=14)     # 2p .. 15p
+    # scan carries must have uniform varying-axis types under shard_map:
+    # a concatenated point can mix sharded data coords with replicated
+    # constant coords (e.g. z == 1 for decompressed inputs), while the
+    # body's outputs are all-varying. Mixing a zero combination of every
+    # coordinate into each coordinate (value unchanged) unifies the types.
+    zmix = (p.x[..., :1] * 0 + p.y[..., :1] * 0
+            + p.z[..., :1] * 0 + p.t[..., :1] * 0)
+    init = ExtPoint(p.x + zmix, p.y + zmix, p.z + zmix, p.t + zmix)
+    _, mult = jax.lax.scan(body, init, None, length=14)  # 2p .. 15p
     first = ExtPoint(*(jnp.stack([i_, p_], axis=0)
                        for i_, p_ in zip(identity(p.shape), p)))
     table = ExtPoint(*(jnp.concatenate([f, m], axis=0)

@@ -195,22 +195,16 @@ def _reduce_sf(x: jnp.ndarray, bounds: list) -> jnp.ndarray:
 
 _W = 2 * NLIMBS - 1  # 47 product columns
 
-# shift index: SHIFT_IDX[i, k] = (k - i) mod _W; rows >= NLIMBS of the padded
-# operand are zero, so out-of-band offsets contribute nothing.
-_SHIFT_IDX = np.zeros((NLIMBS, _W), dtype=np.int32)
-for _i in range(NLIMBS):
-    for _k in range(_W):
-        _SHIFT_IDX[_i, _k] = (_k - _i) % _W
 
 
 def _school_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[..., 47] schoolbook columns via one gather + multiply-reduce.
-
-    Gathers before broadcasting so constant operands fold to one [24, 47]
-    table instead of batch-sized constants.
-    """
+    """[..., 47] schoolbook columns: shifted copies of b via static rolls
+    (slice+concat — TPU lowers minor-axis gathers poorly), then one
+    multiply-reduce. Built on the unbroadcast operand so constant
+    operands fold to a single [24, 47] table."""
     bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, _W - NLIMBS)])
-    shifted = jnp.take(bp, jnp.asarray(_SHIFT_IDX), axis=-1)  # [..., 24, 47]
+    shifted = jnp.stack([jnp.roll(bp, i, axis=-1) for i in range(NLIMBS)],
+                        axis=-2)                              # [..., 24, 47]
     return jnp.sum(a[..., :, None] * shifted, axis=-2)
 
 

@@ -277,7 +277,9 @@ class DeviceShuffleVerifier:
     # ---------------------------------------------------------------- device
 
     def _build(self, comp, scal, weights, states, frame):
-        m, N, B = self.m, self.N, self.batch
+        # B from the input shape: under shard_map this runs per-shard
+        m, N = self.m, self.N
+        B = comp.shape[0]
         P = self._point_layout()
         S = self._scalar_layout()
 
@@ -868,6 +870,39 @@ class DeviceShuffleVerifier:
                               frame)
         if not bool(ok):
             raise ValueError("Device batched shuffle verification failed")
+
+    def verify_sharded(self, entries, mesh, transcripts=None,
+                       rng=None) -> None:
+        """Verify the batch with the lane axis sharded over `mesh`
+        (BASELINE config 5 at multi-chip scale): each device runs the full
+        one-program shuffle verifier on its lane slice; the only
+        collective is a one-integer psum of failure counts over ICI."""
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        ndev = mesh.devices.size
+        if self.batch % ndev:
+            raise ValueError(f"batch {self.batch} not divisible by "
+                             f"{ndev} devices")
+        comp, scal, states, frame = self._pack(entries, transcripts)
+        nbytes = self.batch * self.NCHECKS * 64
+        wbytes = os.urandom(nbytes) if rng is None else rng.fill_bytes(nbytes)
+        weights = np.frombuffer(wbytes, np.uint8).reshape(
+            self.batch, self.NCHECKS, 64).astype(np.int32)
+        axis = mesh.axis_names[0]
+        spec = P(axis)
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec,) * 4, out_specs=P())
+        def run(c, s, w, st):
+            ok = self._build(c, s, w, st, frame)
+            return jax.lax.psum(jnp.where(ok, 0, 1).astype(jnp.int32), axis)
+
+        nbad = jax.jit(run)(jnp.asarray(comp), jnp.asarray(scal),
+                            jnp.asarray(weights), jnp.asarray(states))
+        if int(nbad):
+            raise ValueError(
+                "Device batched shuffle verification failed (sharded)")
 
 
 #: canonical field limbs [..., 24] -> [..., 32] int32 LE bytes (the field

@@ -177,3 +177,41 @@ def test_batch_verify_deterministic_across_mesh_shapes():
             k = r.random_scalar()
             d.check_eq([k], [p], ex.pt_mul(k, p), f"chk{i}")
         d.verify(backend="sharded", mesh=make_mesh(mesh_size))
+
+
+def test_sharded_device_range_verifier_mesh():
+    """Config-4 flagship on the virtual mesh: the one-program range
+    verifier with lanes sharded over 8 devices — accept, per-shard tamper
+    rejection (first and last device), and acceptance under lane
+    permutation."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.bulletproofs.range_proof import RangeProof
+    from quisquis_tpu.bulletproofs.device_verify import DeviceRangeVerifier
+    from quisquis_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    rng = SeededRng(seed=b"shard-drv")
+    proofs, vlists = [], []
+    for i in range(8):
+        p, V = RangeProof.prove_multiple(
+            Transcript(b"RangeProof"), [i + 3], [rng.random_scalar()], 8,
+            rng=rng)
+        proofs.append(p)
+        vlists.append(V)
+    drv = DeviceRangeVerifier(8, 1, 8)
+    drv.verify_sharded(proofs, vlists, mesh, rng=SeededRng(seed=b"w"))
+
+    # lane permutation: same proofs, any order, still accepts
+    perm = [5, 2, 7, 0, 3, 6, 1, 4]
+    drv.verify_sharded([proofs[i] for i in perm], [vlists[i] for i in perm],
+                       mesh, rng=SeededRng(seed=b"w2"))
+
+    # tamper on the first and the last shard
+    import pytest
+    for lane in (0, 7):
+        blob = bytearray(proofs[lane].to_bytes())
+        blob[130] ^= 1
+        bad = list(proofs)
+        bad[lane] = RangeProof.from_bytes(bytes(blob))
+        with pytest.raises(ValueError):
+            drv.verify_sharded(bad, vlists, mesh, rng=SeededRng(seed=b"w3"))
