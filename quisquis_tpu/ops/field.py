@@ -296,33 +296,33 @@ def _pow2k_raw(a: jnp.ndarray, k: int) -> jnp.ndarray:
     return jax.lax.fori_loop(0, k, body, a)
 
 
-def _pow_25_chain(z: jnp.ndarray):
-    """Shared ladder: returns (z^(2^250-1), z^11)."""
-    m, p2k = _mul_raw, _pow2k_raw
-    t0 = _square_raw(z)                 # 2
-    t1 = p2k(t0, 2)                     # 8
-    t2 = m(z, t1)                       # 9
-    t3 = m(t0, t2)                      # 11
-    t4 = _square_raw(t3)                # 22
-    t5 = m(t2, t4)                      # 31 = 2^5-1
-    t6 = m(p2k(t5, 5), t5)              # 2^10-1
-    t7 = m(p2k(t6, 10), t6)             # 2^20-1
-    t8 = m(p2k(t7, 20), t7)             # 2^40-1
-    t9 = m(p2k(t8, 10), t6)             # 2^50-1
-    t10 = m(p2k(t9, 50), t9)            # 2^100-1
-    t11 = m(p2k(t10, 100), t10)         # 2^200-1
-    t12 = m(p2k(t11, 50), t9)           # 2^250-1
-    return t12, t3
+def _pow_const_raw(z: jnp.ndarray, e: int) -> jnp.ndarray:
+    """z^e for a trace-time constant exponent, as ONE rolled fori_loop of
+    square-and-(conditional-)multiply over the exponent bits.
+
+    ~30% more multiplies at run time than a tuned addition chain, but the
+    traced graph holds a single square+multiply body instead of ~25
+    unrolled multiplications — the inversion chain sits inside every
+    compress/decompress call site of the one-program verifiers, where
+    generated-code size is the binding constraint.
+    """
+    bits = bin(e)[2:]
+    ebits = jnp.asarray([int(c) for c in bits], dtype=jnp.int32)
+
+    def body(i, acc):
+        sq = _square_raw(acc)
+        withmul = _mul_raw(sq, z)
+        return jnp.where((ebits[i] == 1)[..., None], withmul, sq)
+
+    return jax.lax.fori_loop(1, len(bits), body, z)
 
 
 def _invert_raw(z: jnp.ndarray) -> jnp.ndarray:
-    t12, t3 = _pow_25_chain(z)
-    return _mul_raw(_pow2k_raw(t12, 5), t3)
+    return _pow_const_raw(z, P - 2)
 
 
 def _pow_p58_raw(z: jnp.ndarray) -> jnp.ndarray:
-    t12, _ = _pow_25_chain(z)
-    return _mul_raw(_pow2k_raw(t12, 2), z)
+    return _pow_const_raw(z, (P - 5) // 8)
 
 
 #: z^(p-2) (maps 0 to 0)

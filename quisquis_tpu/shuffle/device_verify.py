@@ -568,13 +568,6 @@ class DeviceShuffleVerifier:
         zG_b = pt.ExtPoint(*(jnp.broadcast_to(c, (B, m) + c.shape[2:])
                              for c in zG))
         c_E = _add_jit(_add_jit(yA, cB_pts), zG_b)   # [B, m]
-        eq0 = _enc_eq_wire(pt.ExtPoint(*(c[:, 0] for c in c_E)),
-                           mh_wire[:, 0])
-        lane_ok = jnp.logical_and(lane_ok, eq0)
-        if m > 1:
-            eqs = _enc_eq_wire(pt.ExtPoint(*(c[:, 1:] for c in c_E)),
-                               wire("zero_stmt_cA"))
-            lane_ok = jnp.logical_and(lane_ok, jnp.all(eqs, axis=-1))
 
         c_D_last = _sum_points_jit(c_D_tail, 1)
         commit_D = pt.ExtPoint(*(
@@ -589,16 +582,15 @@ class DeviceShuffleVerifier:
         G_agg = _barrier_pt(_sum_points_jit(G_terms, 1))   # [B]
         H_agg = _barrier_pt(_sum_points_jit(H_terms, 1))
 
-        # ---------------- DDH ----------------
-        dt.domain_sep(b"DDHTupleProof")
-        dt.append_point_var(b"g", _limbs_to_bytes_dev(_compress_jit(G_agg)))
-        dt.append_point_var(b"g_dash", wire("ddh")[:, 0])
-        dt.append_point_var(b"h", _limbs_to_bytes_dev(_compress_jit(H_agg)))
-        dt.append_point_var(b"h_dash", wire("ddh")[:, 1])
-        # phase-2 multiplications (operands produced by phase 1):
-        # DDH responses on (G, H) and the commitment-multiexpo
-        # reencryption, whose key is pk_GH = (G_agg, H_agg) — NOT the base
-        # pk (shuffle.rs:502-513 passes pk_GH into the commitment variant)
+        # phase-2 multiplications (operands produced by phase 1): DDH
+        # responses on (G, H) and the commitment-multiexpo reencryption,
+        # whose key is pk_GH = (G_agg, H_agg) — NOT the base pk
+        # (shuffle.rs:502-513 passes pk_GH into the commitment variant).
+        # Transcript-independent, so they run BEFORE the DDH appends —
+        # every point that needs a ristretto encoding is then ready and
+        # ONE batched compress serves the eq-checks and the transcript
+        # (the unrolled inversion chain otherwise inlines ~4k HLO ops per
+        # compress call site).
         GH_pair = pt.ExtPoint(*(jnp.stack([g, h, g, h], axis=1)
                                 for g, h in zip(G_agg, H_agg)))
         p2_scal = jnp.concatenate(
@@ -610,8 +602,35 @@ class DeviceShuffleVerifier:
                        pt.ExtPoint(*(c[:, 1] for c in ddh_dash)))
         re_c0 = pt.ExtPoint(*(c[:, 2:3] for c in p2))   # t * G_agg
         re_c1 = pt.ExtPoint(*(c[:, 3:4] for c in p2))   # t * H_agg
-        dt.append_point_var(b"gr", _limbs_to_bytes_dev(_compress_jit(g_r)))
-        dt.append_point_var(b"hr", _limbs_to_bytes_dev(_compress_jit(h_r)))
+
+        # consolidated encode: [c_E(m) | G_agg | H_agg | g_r | h_r]
+        enc_in = pt.ExtPoint(*(
+            jnp.concatenate([ce, ga[:, None], ha[:, None],
+                             gr_[:, None], hr_[:, None]], axis=1)
+            for ce, ga, ha, gr_, hr_ in zip(c_E, G_agg, H_agg, g_r, h_r)))
+        enc = _compress_jit(enc_in)                     # [B, m+4, 24] limbs
+        enc_bytes = _limbs_to_bytes_dev(enc)            # [B, m+4, 32]
+
+        def _enc_slice_eq(idx, wire_bytes):
+            ok_w, raw = _limbs_from_wire32(wire_bytes)
+            return jnp.logical_and(ok_w,
+                                   jnp.all(enc[:, idx] == raw, axis=-1))
+
+        lane_ok = jnp.logical_and(lane_ok, _enc_slice_eq(0, mh_wire[:, 0]))
+        if m > 1:
+            eqs = jnp.stack(
+                [_enc_slice_eq(i, wire("zero_stmt_cA")[:, i - 1])
+                 for i in range(1, m)], axis=-1)
+            lane_ok = jnp.logical_and(lane_ok, jnp.all(eqs, axis=-1))
+
+        # ---------------- DDH ----------------
+        dt.domain_sep(b"DDHTupleProof")
+        dt.append_point_var(b"g", enc_bytes[:, m])
+        dt.append_point_var(b"g_dash", wire("ddh")[:, 0])
+        dt.append_point_var(b"h", enc_bytes[:, m + 1])
+        dt.append_point_var(b"h_dash", wire("ddh")[:, 1])
+        dt.append_point_var(b"gr", enc_bytes[:, m + 2])
+        dt.append_point_var(b"hr", enc_bytes[:, m + 3])
         ddh_rechal = sf.from_bytes_wide(dt.get_challenge_bytes(b"Challenge"))
         lane_ok = jnp.logical_and(lane_ok, sf.eq(ddh_rechal, ddh_chal))
         if self._stop_at == "ddh":
@@ -619,10 +638,10 @@ class DeviceShuffleVerifier:
 
         # ---------------- Multiexpo (pubkey) ----------------
         # pk_GH.gr == E_k_0[m] bytes
-        lane_ok = jnp.logical_and(lane_ok, _enc_eq_wire(
-            G_agg, wire("mepk_Ek0")[:, m]))
-        lane_ok = jnp.logical_and(lane_ok, _enc_eq_wire(
-            H_agg, wire("mepk_Ek1")[:, m]))
+        lane_ok = jnp.logical_and(lane_ok, _enc_slice_eq(
+            m, wire("mepk_Ek0")[:, m]))
+        lane_ok = jnp.logical_and(lane_ok, _enc_slice_eq(
+            m + 1, wire("mepk_Ek1")[:, m]))
         self._multiexpo(
             dt, checks, b"MultiExponentialPubKeyProof",
             wire("mepk_A0"), wire("mepk_cBk"),
