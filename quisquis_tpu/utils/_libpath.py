@@ -15,7 +15,20 @@ from __future__ import annotations
 
 import glob
 import os
+import subprocess
 from typing import Optional
+
+
+def _try_build(native_dir: str) -> None:
+    """Best-effort `make -C native` in a repo checkout: a fresh clone has
+    the sources but not the .so, and every host hot path (STROBE, curve,
+    MSM) silently degrades to the pure-Python fallback without it."""
+    try:
+        subprocess.run(["make", "-C", native_dir], timeout=120,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                       check=False)
+    except Exception:
+        pass
 
 
 def find_native_lib() -> Optional[str]:
@@ -25,7 +38,11 @@ def find_native_lib() -> Optional[str]:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for cand in sorted(glob.glob(os.path.join(pkg_dir, "libqq_native*.so"))):
         return cand
-    repo = os.path.join(os.path.dirname(pkg_dir), "native", "libqq_native.so")
+    native_dir = os.path.join(os.path.dirname(pkg_dir), "native")
+    repo = os.path.join(native_dir, "libqq_native.so")
+    if not os.path.exists(repo) and os.path.exists(
+            os.path.join(native_dir, "Makefile")):
+        _try_build(native_dir)
     if os.path.exists(repo):
         return repo
     return None
