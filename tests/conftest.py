@@ -23,6 +23,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # dominate test wall-clock; cache them across runs (env var is not honored by
 # this jax build, so use config.update)
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+# Block the zstandard cache codec BEFORE jax imports it: compressing the
+# multi-MB device-verifier executables through zstandard.backend_c aborts
+# the process mid-suite (glibc abort inside backend_compile_and_load with
+# zstandard loaded; reproducible at tests/test_serving.py in a full run).
+# jax's compilation cache falls back to zlib when the import fails.
+import sys
+
+sys.modules["zstandard"] = None  # type: ignore[assignment]
 import jax  # noqa: E402
 
 if not _TPU_MODE:
