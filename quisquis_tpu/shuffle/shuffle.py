@@ -433,8 +433,9 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
     program per shape bucket (shuffle.device_verify). With host backends,
     per-proof transcript challenge derivation stays on the host
     (sequential Keccak, cheap) and the heavy verifier recombinations ride
-    one MSM. "auto" picks device-batched when a TPU is initialized and the
-    batch amortizes dispatch, else the host path.
+    one MSM. "auto" follows the measured crossover table (below): the host
+    path is the default until a device backend beats it on the same
+    workload.
 
     The eager equivalent loops `proof.verify(...)` per proof
     (reference behavior, /root/reference/src/shuffle/shuffle.rs:547-712).
@@ -447,11 +448,16 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
     from ..accounts.deferred import DeferredPointChecks
 
     entries = list(entries)
-    if backend == "auto" and entries and xpc_gens is None:
-        import sys
-        if ("jax" in sys.modules and len(entries) >= 4
-                and __import__("jax").default_backend() == "tpu"):
-            backend = "device-batched"
+    # Measured crossover (TPU v5 lite, round 4; see BENCHMARKS.md §5e):
+    #   m=8 B=16: host one-MSM batch 50.3 proofs/s, device-batched 19.0
+    #   m=3 B=16: host faster still (smaller MSM, same per-lane overhead)
+    # The device-batched verifier loses at every measured shuffle shape, so
+    # "auto" NEVER selects it here — the host replay path stays the default
+    # until a committed benchmark shows a device win (then encode the
+    # winning (m, B) rows in this table). Explicit
+    # backend="device-batched" still honors the request. "auto" still
+    # flows to DeferredPointChecks.verify, whose own measured crossover
+    # routes only the final combined MSM to the device at >=32768 terms.
     if backend == "device-batched":
         from .device_verify import device_batch_verify
         from ..accounts.transcript import SeededRng

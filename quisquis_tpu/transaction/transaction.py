@@ -644,16 +644,22 @@ def batch_verify_transactions(items: Sequence[Tuple[Transaction,
     backend "device-batched": the embedded shuffle and range proofs of
     every transaction run as one-program device verifications (batched
     transcript replay on the VPU, one MSM per shape bucket); the host only
-    advances transcripts and runs the small sigma checks. "auto" selects
-    it when a TPU is initialized and the batch is large enough.
+    advances transcripts and runs the small sigma checks. "auto" keeps the
+    host path (measured faster at every committed config — see below);
+    request "device-batched" explicitly to use the device verifiers.
     """
     from ..accounts.deferred import DeferredPointChecks, DeviceBatchCollector
 
-    if backend == "auto":
-        import sys
-        if ("jax" in sys.modules and len(items) >= 4
-                and __import__("jax").default_backend() == "tpu"):
-            backend = "device-batched"
+    # Measured crossover (TPU v5 lite, round 4; see BENCHMARKS.md §5e/6b):
+    # the device-batched shuffle verifier is ~2.6x SLOWER than the host
+    # one-MSM replay at the headline m=8 B=16 workload (19.0 vs 50.3
+    # proofs/s), and every transaction batch embeds two shuffle proofs per
+    # tx — so "auto" keeps the host path for the whole batch. Range-proof
+    # sub-batches still route per RangeProof.verify_batch's own measured
+    # crossover when called with backend="auto" directly; here they ride
+    # the transaction-wide combined MSM instead (one MSM beats separate
+    # device round-trips at these sizes). Explicit
+    # backend="device-batched" still honors the request.
     if backend == "device-batched":
         from ..accounts.transcript import SeededRng
 

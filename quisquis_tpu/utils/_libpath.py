@@ -15,20 +15,57 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import subprocess
+import sys
+import time
 from typing import Optional
 
 
 def _try_build(native_dir: str) -> None:
     """Best-effort `make -C native` in a repo checkout: a fresh clone has
     the sources but not the .so, and every host hot path (STROBE, curve,
-    MSM) silently degrades to the pure-Python fallback without it."""
+    MSM) silently degrades to the pure-Python fallback without it.
+
+    Set ``QQ_NO_NATIVE_BUILD=1`` to skip the auto-build entirely. The
+    Makefile builds to a temp file and renames atomically, and a lock
+    directory serializes concurrent importers, so a second process never
+    dlopens a half-written .so.
+    """
+    if os.environ.get("QQ_NO_NATIVE_BUILD") == "1":
+        return
+    if shutil.which("make") is None:
+        print("quisquis_tpu: native toolchain ('make') not found; "
+              "using pure-Python fallbacks (slower)", file=sys.stderr)
+        return
+    lock = os.path.join(native_dir, ".build_lock")
     try:
-        subprocess.run(["make", "-C", native_dir], timeout=120,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                       check=False)
-    except Exception:
-        pass
+        os.mkdir(lock)
+    except FileExistsError:
+        # Another process is building; wait for it rather than racing.
+        for _ in range(240):
+            time.sleep(0.5)
+            if not os.path.isdir(lock):
+                return
+        return
+    except OSError:
+        return
+    try:
+        res = subprocess.run(["make", "-C", native_dir], timeout=240,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.PIPE, check=False)
+        if res.returncode != 0:
+            tail = (res.stderr or b"").decode(errors="replace")[-500:]
+            print("quisquis_tpu: native build failed; using pure-Python "
+                  f"fallbacks (slower). make said:\n{tail}", file=sys.stderr)
+    except Exception as exc:  # toolchain oddities must never break import
+        print(f"quisquis_tpu: native build errored ({exc!r}); using "
+              "pure-Python fallbacks (slower)", file=sys.stderr)
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
 
 
 def find_native_lib() -> Optional[str]:
