@@ -222,6 +222,42 @@ def config4d_device_range_verify(batch=64, n=64, m=16):
            f"{batch/t_host:.1f}/s -> device {best/batch*1e3:.1f} ms/proof")
 
 
+def config4e_device_range_prove(batch=8, n=64, m=16):
+    """Fully on-device batched range-proof PROVING (round 4): B aggregated
+    proofs as one jitted program (bulletproofs/device_prove.py),
+    byte-identical to the host prover under the same RNG streams. Host
+    comparison: the same proofs through the host prove_multiple loop
+    (reference shape /root/reference/src/accounts/prover.rs:544-591)."""
+    from quisquis_tpu.accounts.transcript import Transcript, SeededRng
+    from quisquis_tpu.bulletproofs.range_proof import RangeProof
+
+    rng = SeededRng(seed=b"bench4e")
+    values = [[100 + 17 * i + j for j in range(m)] for i in range(batch)]
+    blinds = [[rng.random_scalar() for _ in range(m)] for _ in range(batch)]
+    seeds = [b"bench4e-%d" % i for i in range(batch)]
+
+    def lanes():
+        return [(Transcript(b"RangeProof"), values[i], blinds[i],
+                 SeededRng(seed=seeds[i])) for i in range(batch)]
+
+    out_d = RangeProof.prove_batch(lanes(), n, backend="device-batched")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_d = RangeProof.prove_batch(lanes(), n, backend="device-batched")
+        best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    out_h = RangeProof.prove_batch(lanes(), n, backend="host")
+    t_host = time.perf_counter() - t0
+    assert all(d[0].to_bytes() == h[0].to_bytes()
+               for d, h in zip(out_d, out_h)), "device/host proof mismatch"
+    record("4e: on-device range-proof proving (one program, B lanes)",
+           round(batch / best, 2), "proofs/s",
+           f"batch={batch}, agg m={m}, byte-identical to host; host loop "
+           f"{batch/t_host:.2f}/s ({t_host/batch*1e3:.0f} ms/proof) -> "
+           f"device {best/batch*1e3:.0f} ms/proof")
+
+
 def config5e_device_shuffle_verify(batch=16, n=64):
     """Fully on-device batched shuffle verification (the reference's
     headline workload, shuffle.rs:547-712, on the chip end to end)."""
@@ -534,11 +570,9 @@ def config_scaling_efficiency(log_n=14):
 def main():
     import jax
     try:  # persistent compile cache: device kernels dominate cold wall-clock
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_bench_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        from quisquis_tpu.utils.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()   # shared with tests/serving/CLI
     except Exception:
         pass
     dev = str(jax.devices()[0])

@@ -346,3 +346,44 @@ class DeviceRangeProver:
                 int.from_bytes(bytes(ebb_[i]), "little"), ipp))
             vlists.append([bytes(V_b[i, j]) for j in range(m)])
         return proofs, vlists
+
+    def warmup(self, transcripts=None) -> None:
+        """Compile (or cache-load) this shape bucket's prover program up
+        front on zero inputs (the arithmetic is input-independent), so the
+        first real batch proves at steady-state latency."""
+        from ..accounts.transcript import Transcript
+
+        B, m, nm = self.batch, self.m, self.nm
+        if transcripts is None:
+            transcripts = [Transcript(self.label) for _ in range(B)]
+        snaps = [snapshot_host_strobe(t.strobe) for t in transcripts]
+        frame = snaps[0][1:]
+        states = np.stack([np.frombuffer(s[0], np.uint8)
+                           for s in snaps]).astype(np.int32)
+        out = self._prove_jit(
+            jnp.asarray(np.zeros((B, m, 32), np.int32)),
+            jnp.asarray(np.zeros((B, m, 32), np.int32)),
+            jnp.asarray(np.zeros((B, nm), np.int32)),
+            jnp.asarray(np.zeros((B, 2, nm, 32), np.int32)),
+            jnp.asarray(np.zeros((B, 4, 32), np.int32)),
+            frame, jnp.asarray(states))
+        np.asarray(out[0])   # force execution through the axon tunnel
+
+
+# ---------------------------------------------------------------------------
+# production dispatch: shape-bucketed prover instances
+# ---------------------------------------------------------------------------
+
+_PROVER_CACHE: dict = {}
+
+
+def get_device_range_prover(n: int, m: int, batch: int,
+                            transcript_label: bytes = b"RangeProof"
+                            ) -> DeviceRangeProver:
+    """Process-wide cache of compiled prover instances, keyed by shape."""
+    key = (n, m, batch, bytes(transcript_label))
+    p = _PROVER_CACHE.get(key)
+    if p is None:
+        p = _PROVER_CACHE.setdefault(
+            key, DeviceRangeProver(n, m, batch, transcript_label))
+    return p

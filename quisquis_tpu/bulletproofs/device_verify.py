@@ -144,6 +144,10 @@ class DeviceRangeVerifier:
         # device-resident static generators: [2 + 2nm] points
         self._static = pt.from_exact_batch([pc.B, pc.B_blinding] + G + H)
         self._verify_jit = jax.jit(self._build, static_argnums=4)
+        #: final MSM backend: Pallas pipeline on a real TPU for batches
+        #: that amortize it; XLA form on CPU and under shard_map
+        #: (verify_sharded clears the flag around its trace)
+        self._use_pallas_msm = jax.default_backend() == "tpu"
 
     # -- device program ------------------------------------------------------
 
@@ -286,7 +290,12 @@ class DeviceRangeVerifier:
         flat_pts = pt.ExtPoint(*(c.reshape((-1, fe.NLIMBS))
                                  for c in pts))
         all_pts = _ext_concat([self._static, flat_pts])
-        total = _msm_jit(nib, all_pts)
+        if self._use_pallas_msm and all_scal.shape[0] >= 1024:
+            from ..ops import pallas_point as kp
+
+            total = kp.msm_pallas(nib, all_pts)
+        else:
+            total = _msm_jit(nib, all_pts)
         return jnp.logical_and(all_ok, pt.is_identity_raw(total))
 
     # -- host API --------------------------------------------------------------
@@ -319,6 +328,26 @@ class DeviceRangeVerifier:
         states = np.stack([np.frombuffer(s[0], np.uint8)
                            for s in snaps]).astype(np.int32)
         return comp.astype(np.int32), scal.astype(np.int32), states, frame
+
+    def warmup(self, transcripts=None) -> None:
+        """Compile (or cache-load) this shape bucket's program up front on
+        zero inputs (identity points / zero scalars — same program, verdict
+        discarded), so the first real batch runs at steady-state latency."""
+        from ..accounts.transcript import Transcript
+
+        B, m, k = self.batch, self.m, self.k
+        if transcripts is None:
+            transcripts = [Transcript(self.label) for _ in range(B)]
+        snaps = [snapshot_host_strobe(t.strobe) for t in transcripts]
+        frame = snaps[0][1:]
+        states = np.stack([np.frombuffer(s[0], np.uint8)
+                           for s in snaps]).astype(np.int32)
+        comp = np.zeros((B, m + 4 + 2 * k, 32), np.int32)
+        scal = np.zeros((B, 5, 32), np.int32)
+        weights = np.zeros((B, 2, 64), np.int32)
+        bool(self._verify_jit(jnp.asarray(comp), jnp.asarray(scal),
+                              jnp.asarray(weights), jnp.asarray(states),
+                              frame))
 
     def verify(self, proofs: Sequence, value_commitments: Sequence[Sequence[bytes]],
                transcripts=None, rng: Optional[object] = None) -> None:
@@ -367,8 +396,13 @@ class DeviceRangeVerifier:
             ok = self._build(c, s, w, st, frame)
             return jax.lax.psum(jnp.where(ok, 0, 1).astype(jnp.int32), axis)
 
-        nbad = jax.jit(run)(jnp.asarray(comp), jnp.asarray(scal),
-                            jnp.asarray(weights), jnp.asarray(states))
+        prev_pallas = self._use_pallas_msm
+        self._use_pallas_msm = False     # captured at trace time below
+        try:
+            nbad = jax.jit(run)(jnp.asarray(comp), jnp.asarray(scal),
+                                jnp.asarray(weights), jnp.asarray(states))
+        finally:
+            self._use_pallas_msm = prev_pallas
         if int(nbad):
             raise ValueError("Device batched range-proof verification "
                              "failed (sharded)")

@@ -172,6 +172,77 @@ class RangeProof:
                                              rng=rng)
         return proof, V[0]
 
+    @staticmethod
+    def prove_batch(lanes, n: int, backend: str = "auto",
+                    min_bucket: int = 2):
+        """Prove many independent aggregated range proofs in one batch.
+
+        `lanes`: (transcript, values, blindings, rng) per proof. Returns
+        [(proof, V_bytes_list)] in lane order; every host transcript is
+        advanced past its proof (so embedded flows can continue).
+
+        backend:
+          - "host": loop `prove_multiple` per lane.
+          - "device-batched": group lanes by (m, transcript frame), pad
+            each group to a power-of-two lane bucket, and prove each
+            group as ONE jitted device program
+            (bulletproofs.device_prove.DeviceRangeProver) —
+            byte-identical to the host prover under the same RNG streams
+            (tests/test_device_prove.py). Host transcripts are advanced
+            by replaying the finished proofs' interactions.
+          - "auto": device-batched when a TPU backend is initialized and
+            the batch has >= 8 lanes (crossover measured in
+            BENCHMARKS.md 4e), else host.
+
+        The reference proves range proofs one at a time
+        (/root/reference/src/accounts/prover.rs:544-591); cross-proof
+        batching has no analog there.
+        """
+        lanes = list(lanes)
+        if backend == "auto":
+            import sys
+
+            backend = ("device-batched"
+                       if ("jax" in sys.modules and len(lanes) >= 8
+                           and __import__("jax").default_backend() == "tpu")
+                       else "host")
+        if backend == "host":
+            out = []
+            for t, vals, blinds, rng in lanes:
+                proof, V = RangeProof.prove_multiple(t, vals, blinds, n,
+                                                     rng=rng)
+                out.append((proof, V))
+            return out
+        if backend != "device-batched":
+            raise ValueError(f"unknown backend {backend!r}")
+        from .device_prove import get_device_range_prover
+        from ..ops.device_strobe import snapshot_host_strobe
+
+        groups: dict = {}
+        for i, (t, vals, _, _) in enumerate(lanes):
+            frame = snapshot_host_strobe(t.strobe)[1:]
+            groups.setdefault((len(vals), frame), []).append(i)
+        results: list = [None] * len(lanes)
+        for (m, _), idxs in sorted(groups.items(),
+                                   key=lambda kv: repr(kv[0])):
+            B = max(min_bucket, 1 << (len(idxs) - 1).bit_length())
+            pad_idx = idxs + [idxs[0]] * (B - len(idxs))
+            drp = get_device_range_prover(n, m, B)
+            transcripts, values, blindings, rngs = [], [], [], []
+            for k, i in enumerate(pad_idx):
+                t, vals, blinds, rng = lanes[i]
+                transcripts.append(t)     # snapshots only; not advanced
+                values.append(list(vals))
+                blindings.append(list(blinds))
+                # pad lanes must not consume the real lane's RNG stream
+                rngs.append(rng if k < len(idxs) else SeededRng())
+            proofs, vlists = drp.prove(values, blindings, rngs,
+                                       transcripts=transcripts)
+            for k, i in enumerate(idxs):
+                proofs[k].advance_transcript(lanes[i][0], vlists[k], n)
+                results[i] = (proofs[k], vlists[k])
+        return results
+
     # ----------------------------------------------------------------- verify
 
     def verify_multiple(self, transcript: Transcript,

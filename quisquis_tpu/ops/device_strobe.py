@@ -154,6 +154,33 @@ class DeviceStrobe:
         self._begin_op(_FLAG_I | _FLAG_A | _FLAG_C, more)
         return self._squeeze(n)
 
+    def _overwrite(self, data: Data, nbytes: int) -> None:
+        arr = self._as_lane_array(data)
+        assert arr.shape[-1] == nbytes
+        for off, c in self._chunks(nbytes):
+            mask = np.ones(200, np.int32)
+            mask[self.pos:self.pos + c] = 0
+            pad = [(0, 0)] * (arr.ndim - 1) + [(self.pos,
+                                               200 - self.pos - c)]
+            self.state = (self.state * jnp.asarray(mask)
+                          ^ jnp.pad(arr[..., off:off + c], pad))
+            self.pos += c
+            if self.pos == STROBE_R:
+                self._run_f()
+
+    def key(self, data: Data, more: bool, nbytes: int = -1) -> None:
+        self._begin_op(_FLAG_A | _FLAG_C, more)
+        self._overwrite(data, len(data) if nbytes < 0 else nbytes)
+
+    def clone(self) -> "DeviceStrobe":
+        c = object.__new__(DeviceStrobe)
+        c.state = self.state          # jnp arrays are immutable
+        c.pos = self.pos
+        c.pos_begin = self.pos_begin
+        c.cur_flags = self.cur_flags
+        c.batch_shape = self.batch_shape
+        return c
+
 
 class DeviceTranscript:
     """Batched merlin::Transcript twin of accounts.transcript.Transcript."""
@@ -206,3 +233,38 @@ class DeviceTranscript:
     def get_challenge_bytes(self, label: bytes) -> jnp.ndarray:
         """64 challenge bytes [..., 64]; reduce with scalar_field.from_bytes_wide."""
         return self.challenge_bytes(label, 64)
+
+
+class DeviceTranscriptRng:
+    """Batched merlin TranscriptRng twin (witness-rekeyed PRF stream).
+
+    Mirrors accounts.transcript.TranscriptRngBuilder/TranscriptRng on the
+    device: clone the transcript's STROBE state, rekey with per-lane
+    witness bytes, finalize with per-lane entropy, then draw PRF bytes.
+    Bit-exact with the host implementation (the device shuffle prover's
+    blinding draws must match the host prover's byte-for-byte)."""
+
+    def __init__(self, strobe: DeviceStrobe):
+        self.strobe = strobe.clone()
+
+    def rekey_with_witness_bytes(self, label: bytes, witness: Data,
+                                 nbytes: int = -1) -> "DeviceTranscriptRng":
+        n = len(witness) if nbytes < 0 else nbytes
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(_u32le(n), True)
+        self.strobe.key(witness, False, n)
+        return self
+
+    def finalize(self, entropy: Data) -> "DeviceTranscriptRng":
+        self.strobe.meta_ad(b"rng", False)
+        self.strobe.key(entropy, False, 32)
+        return self
+
+    def fill_bytes(self, n: int) -> jnp.ndarray:
+        self.strobe.meta_ad(_u32le(n), False)
+        return self.strobe.prf(n, False)
+
+    def random_scalar_bytes(self) -> jnp.ndarray:
+        """64 PRF bytes [..., 64]; reduce with scalar_field.from_bytes_wide
+        (Scalar::random equivalent)."""
+        return self.fill_bytes(64)

@@ -117,6 +117,35 @@ def msm_shared_base_raw(nibbles: jnp.ndarray,
     return jax.lax.fori_loop(1, pt.NWINDOWS, body, acc)
 
 
+def msm_rows_raw(nibbles: jnp.ndarray, points: pt.ExtPoint) -> pt.ExtPoint:
+    """Per-row MSM: nibbles [..., k, 64] over points [..., k] -> [...].
+
+    The batch generalization of msm_pippenger_raw for workloads where
+    every row combines its OWN point set (e.g. each verifier lane
+    aggregating its statement's points by challenge powers:
+    (G, H) = sum_i x^i pk_i, /root/reference/src/shuffle/shuffle.rs:461-477).
+    Unlike msm_shared_base_raw the table is built per row. Cost per row:
+    14k table adds + 64 window lookups/tree-sums (~64k adds) + one
+    252-doubling Horner chain — ~80 point-ops per point vs the lockstep
+    ladder's ~331.
+    """
+    table = pt._build_window_table(points)        # [..., k, 16, limbs]
+
+    def window_sum(w):
+        digits = jnp.take(nibbles, w, axis=-1)    # [..., k]
+        sel = pt._lookup_16(table, digits)
+        return pt.sum_points_raw(sel, -1)         # [...]
+
+    def body(i, acc):
+        w = pt.NWINDOWS - 1 - i
+        for k in range(pt.WINDOW_BITS):
+            acc = pt.double_raw(acc, need_t=(k == pt.WINDOW_BITS - 1))
+        return pt.add_raw(acc, window_sum(w))
+
+    acc = window_sum(pt.NWINDOWS - 1)
+    return jax.lax.fori_loop(1, pt.NWINDOWS, body, acc)
+
+
 def msm_raw(nibbles: jnp.ndarray, points: pt.ExtPoint) -> pt.ExtPoint:
     """MSM over a batch axis: sum_i s_i * P_i -> single point (shape ()).
 

@@ -305,19 +305,22 @@ def _msm_table_kernel(consts_ref, x_ref, y_ref, z_ref, t_ref,
 
 
 def _msm_acc_kernel(consts_ref, nib_ref, tx_ref, ty_ref, tz_ref, tt_ref,
-                    ox_ref, oy_ref, oz_ref, ot_ref, *, wgroup: int):
+                    ox_ref, oy_ref, oz_ref, ot_ref, *, wgroup: int,
+                    tpr: int = 0):
     """Accumulate WGROUP window sums over point tiles.
 
     Grid (wgroups, tiles), tiles innermost: each output block (one point
     per window in the group, per lane) stays in VMEM across its whole
     run of tile steps (classic revisited-accumulator pattern); all slicing
-    is static."""
+    is static. With `tpr` (tiles-per-row, rows-MSM mode) the accumulator
+    resets every `tpr` tiles so each row of points folds into its own
+    block."""
     tile = tx_ref.shape[1]
     bias = consts_ref[0:NL]
     d2 = consts_ref[NL:2 * NL]
     i_tile = pl.program_id(1)
 
-    @pl.when(i_tile == 0)
+    @pl.when(i_tile % tpr == 0 if tpr else i_tile == 0)
     def _init():
         zeros = jnp.zeros((wgroup * NL, tile), jnp.int32)
         one = (jax.lax.broadcasted_iota(jnp.int32, (wgroup * NL, tile), 0) % NL
@@ -459,3 +462,89 @@ def msm_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
         interpret=interpret,
     )(jnp.asarray(_CONSTS), ox, oy, oz, ot)
     return pt.ExtPoint(rx[:, 0], ry[:, 0], rz[:, 0], rt[:, 0])
+
+
+@partial(jax.jit, static_argnames=("tile", "wgroup", "interpret"))
+def msm_rows_pallas(nibbles: jnp.ndarray, p: pt.ExtPoint,
+                    tile: int = 0, wgroup: int = WGROUP,
+                    interpret: bool = False) -> pt.ExtPoint:
+    """Per-row MSM on the 3-kernel pipeline: nibbles [R, k, 64] over
+    ExtPoint [R, k] -> ExtPoint [R].
+
+    Every row combines its OWN point set (the Pallas twin of
+    msm.msm_rows_raw): rows are padded to a whole number of lane tiles
+    (zero digits on identity points contribute nothing), the window
+    accumulator resets at each row boundary (`tpr` mode of
+    _msm_acc_kernel), and the Horner/lane-reduce tail runs once per row.
+    Replaces ~7,000 dispatch-bound tiny XLA point ops with 3 kernel
+    launches for workloads like the shuffle verifier's per-lane statement
+    aggregations ((G, H) = sum_i x^i pk_i + DDH/reencryption responses).
+    """
+    tile = tile or _cfg_msm_tile()
+    R, k = nibbles.shape[0], nibbles.shape[1]
+    pad = (-k) % tile
+    if pad:
+        nibbles = jnp.concatenate(
+            [nibbles, jnp.zeros((R, pad, 64), nibbles.dtype)], axis=1)
+        idp = pt.identity((R, pad))
+        p = pt.ExtPoint(*(jnp.concatenate([a, b], axis=1)
+                          for a, b in zip(p, idp)))
+    kp = k + pad
+    tpr = kp // tile
+    B = R * kp
+    nib_lm = nibbles.reshape(B, 64).T                 # [64, R*kp]
+    cx, cy, cz, ct = (c.reshape(B, NL).T for c in p)  # [24, R*kp]
+
+    spec_c = pl.BlockSpec((NL, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_k1 = pl.BlockSpec((2 * NL, 1), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_t1 = pl.BlockSpec((16 * NL, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    tabs = pl.pallas_call(
+        _msm_table_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((16 * NL, B), jnp.int32)
+                        for _ in range(4)),
+        grid=(B // tile,),
+        in_specs=[spec_k1, spec_c, spec_c, spec_c, spec_c],
+        out_specs=(spec_t1, spec_t1, spec_t1, spec_t1),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), cx, cy, cz, ct)
+
+    spec_k2 = pl.BlockSpec((2 * NL, 1), lambda g, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_n2 = pl.BlockSpec((wgroup, tile), lambda g, i: (g, i),
+                           memory_space=pltpu.VMEM)
+    spec_t2 = pl.BlockSpec((16 * NL, tile), lambda g, i: (0, i),
+                           memory_space=pltpu.VMEM)
+    # one accumulator block per (window group, ROW): i // tpr
+    spec_o2 = pl.BlockSpec((wgroup * NL, tile),
+                           lambda g, i, _tpr=tpr: (g, i // _tpr),
+                           memory_space=pltpu.VMEM)
+    wx, wy, wz, wt = pl.pallas_call(
+        partial(_msm_acc_kernel, wgroup=wgroup, tpr=tpr),
+        out_shape=tuple(jax.ShapeDtypeStruct((64 * NL, R * tile), jnp.int32)
+                        for _ in range(4)),
+        grid=(64 // wgroup, B // tile),
+        in_specs=[spec_k2, spec_n2, spec_t2, spec_t2, spec_t2, spec_t2],
+        out_specs=(spec_o2, spec_o2, spec_o2, spec_o2),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), nib_lm, *tabs)
+
+    spec_w3 = pl.BlockSpec((64 * NL, tile), lambda r: (0, r),
+                           memory_space=pltpu.VMEM)
+    spec_o3 = pl.BlockSpec((NL, tile), lambda r: (0, r),
+                           memory_space=pltpu.VMEM)
+    spec_k3 = pl.BlockSpec((2 * NL, 1), lambda r: (0, 0),
+                           memory_space=pltpu.VMEM)
+    rx, ry, rz, rt = pl.pallas_call(
+        _msm_tail_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((NL, R * tile), jnp.int32)
+                        for _ in range(4)),
+        grid=(R,),
+        in_specs=[spec_k3, spec_w3, spec_w3, spec_w3, spec_w3],
+        out_specs=(spec_o3, spec_o3, spec_o3, spec_o3),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), wx, wy, wz, wt)
+    # lane 0 of each row block carries the row total (lane-replicated)
+    return pt.ExtPoint(rx[:, ::tile].T, ry[:, ::tile].T,
+                       rz[:, ::tile].T, rt[:, ::tile].T)

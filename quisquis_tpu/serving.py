@@ -125,6 +125,13 @@ class _PoolService:
             raise ValueError(f"unknown serving backend {backend!r}")
         self.workers = workers or (os.cpu_count() or 1)
         self.backend = backend
+        if backend in ("device", "device-batched"):
+            # device executables compile for minutes per shape; make every
+            # service share the persistent cache so a warmup (or any prior
+            # process) pays that once. See utils.jaxcache / warmup().
+            from .utils.jaxcache import enable_persistent_cache
+
+            enable_persistent_cache()
         # `seed` pins the weight streams for tests only; a production
         # verifier must leave it None so weights stay unpredictable
         self._seed = bytes(seed) if seed is not None else None
@@ -186,6 +193,15 @@ class _PoolService:
             defer.verify(
                 backend="device" if self.backend == "device" else "host")
         return total
+
+    def warmup(self, shapes) -> None:
+        """Pre-compile device shape buckets at service start so the first
+        request runs at steady-state latency (cold compile is minutes per
+        shape on a real chip). `shapes`: utils.jaxcache shape descriptors,
+        e.g. [("shuffle", 3, 16), ("range", 64, 1, 16)]."""
+        from .utils.jaxcache import warmup as _warmup
+
+        _warmup(shapes)
 
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)
@@ -378,6 +394,65 @@ def _build_chunk(reqs: List[BuildRequest], seed: bytes) -> List[WirePair]:
             senders_count=sc, receivers_count=rc, rng=rng)
         out.append(serialize_transaction(tx, proof))
     return out
+
+
+class RangeProvingService:
+    """Batched range-proof proving service (the prove-side device path).
+
+    Collects independent (values, blindings) requests and proves them as
+    lane batches through ``RangeProof.prove_batch``: with
+    ``backend="device-batched"`` (or "auto" on a TPU host with >= 8
+    requests) the whole batch — bit commitments, challenge transcripts,
+    the inner-product folds — runs as ONE jitted device program per shape
+    bucket, byte-identical to the host prover under the same RNG streams.
+    The accelerator replaces a worker pool as the parallel resource; no
+    processes are spawned.
+
+    Reference prove path: /root/reference/src/accounts/prover.rs:544-591
+    (one proof at a time, host only).
+    """
+
+    def __init__(self, n_bits: int = 64, backend: str = "auto",
+                 seed: Optional[bytes] = None):
+        if backend not in ("auto", "host", "device-batched"):
+            raise ValueError(f"unknown proving backend {backend!r}")
+        self.n_bits = n_bits
+        self.backend = backend
+        self._seed = bytes(seed) if seed is not None else None
+        self._ctr = itertools.count()
+        if backend in ("auto", "device-batched"):
+            from .utils.jaxcache import enable_persistent_cache
+
+            enable_persistent_cache()
+
+    def warmup(self, m: int, batch: int) -> None:
+        """Pre-compile the (n_bits, m, batch) prover bucket."""
+        from .utils.jaxcache import warmup as _warmup
+
+        _warmup([("range-prove", self.n_bits, m, batch)])
+
+    def prove(self, requests):
+        """requests: iterable of (values, blindings) with len(values) a
+        power of two. Returns [(RangeProof, V_bytes_list)] in order."""
+        from .accounts.transcript import SeededRng, Transcript
+        from .bulletproofs.range_proof import RangeProof
+
+        requests = list(requests)
+        if not requests:
+            return []
+        req_id = next(self._ctr)
+        lanes = []
+        for i, (vals, blinds) in enumerate(requests):
+            if self._seed is None:
+                rng = SeededRng()
+            else:
+                rng = SeededRng(seed=hashlib.sha512(
+                    self._seed + b"prove" + req_id.to_bytes(8, "little")
+                    + i.to_bytes(8, "little")).digest()[:32])
+            lanes.append((Transcript(b"RangeProof"), list(vals),
+                          list(blinds), rng))
+        return RangeProof.prove_batch(lanes, self.n_bits,
+                                      backend=self.backend)
 
 
 class ProvingService:

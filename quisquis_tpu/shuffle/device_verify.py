@@ -81,6 +81,7 @@ def _enc_eq_wire(points: pt.ExtPoint, wire: jnp.ndarray) -> jnp.ndarray:
 _scalar_mul_jit = jax.jit(pt.scalar_mul_raw)
 _add_jit = jax.jit(pt.add_raw)
 _sum_points_jit = jax.jit(pt.sum_points_raw, static_argnums=1)
+_msm_rows_jit = jax.jit(qmsm.msm_rows_raw)
 
 
 def _mul_pt(s: jnp.ndarray, p: pt.ExtPoint) -> pt.ExtPoint:
@@ -114,10 +115,16 @@ class _LaneChecks:
         self._scal.append(sf.mul(scalars, w[:, None, :]))
         self._pts.append(points)
 
-    def verify_msm(self) -> jnp.ndarray:
+    def verify_msm(self, use_pallas: bool = False) -> jnp.ndarray:
         scal = jnp.concatenate([s.reshape(-1, sf.NLIMBS) for s in self._scal])
         pts = _ext_concat([pt.ExtPoint(*(c.reshape((-1, fe.NLIMBS))
                                          for c in p)) for p in self._pts])
+        if use_pallas:
+            # the three-kernel Pallas MSM pipeline (1.15M pts/s marginal
+            # at 2^16 vs ~170k for the XLA Pippenger form); pads itself
+            from ..ops import pallas_point as kp
+
+            return pt.is_identity_raw(kp.msm_pallas(_to_nibbles(scal), pts))
         n = scal.shape[0]
         npad = 1 << (n - 1).bit_length()
         if npad != n:
@@ -187,6 +194,17 @@ class DeviceShuffleVerifier:
                             + [pc.B, pc.B_blinding, self._base_g,
                                self._base_h, c_minus_one, sum_g])
         self._verify_jit = jax.jit(self._build, static_argnums=4)
+        #: final combined MSM backend: the Pallas pipeline on a real TPU,
+        #: the XLA form on CPU (Mosaic needs interpret mode there) and
+        #: under shard_map (verify_sharded clears the flag around its
+        #: trace — per-shard term counts are smaller and Mosaic calls
+        #: inside shard_map are kept off the multi-chip path)
+        self._use_pallas_msm = jax.default_backend() == "tpu"
+        #: per-lane point stages (ladder + rows-MSM) on the Pallas
+        #: mega-kernels when a real TPU is the backend — the XLA forms of
+        #: these stages are dispatch-bound at production widths (measured
+        #: round 4: 80 ms ladder + 284 ms aggregate stages at m=8 B=16)
+        self._use_pallas_pt = jax.default_backend() == "tpu"
         #: debug knob: truncate the program after a named phase
         #: ("decompress" | "hadamard" | "scalars" | "mulphase" | "ddh" |
         #:  "multiexpo"); None = full verification. Used to bisect
@@ -275,6 +293,29 @@ class DeviceShuffleVerifier:
         return idx
 
     # ---------------------------------------------------------------- device
+
+    def _mul_pt_dispatch(self, s: jnp.ndarray, p: pt.ExtPoint) -> pt.ExtPoint:
+        """Per-lane scalar-muls [B, K]: Pallas mega-kernel on a real TPU
+        (one launch per 256-lane tile), XLA windowed ladder elsewhere."""
+        if not self._use_pallas_pt:
+            return _mul_pt(s, p)
+        from ..ops import pallas_point as kp
+
+        B, K = s.shape[0], s.shape[1]
+        n = B * K
+        tile = 256
+        nib = _to_nibbles(s).reshape(n, 64)
+        flat = pt.ExtPoint(*(c.reshape((n,) + c.shape[2:]) for c in p))
+        padn = (-n) % tile
+        if padn:
+            nib = jnp.concatenate(
+                [nib, jnp.zeros((padn, 64), nib.dtype)], axis=0)
+            idp = pt.identity((padn,))
+            flat = pt.ExtPoint(*(jnp.concatenate([a, b], axis=0)
+                                 for a, b in zip(flat, idp)))
+        out = kp.scalar_mul_pallas(nib, flat, tile=tile)
+        return pt.ExtPoint(*(c[:n].reshape((B, K) + c.shape[1:])
+                             for c in out))
 
     def _build(self, comp, scal, weights, states, frame):
         # B from the input shape: under shard_map this runs per-shard
@@ -527,21 +568,61 @@ class DeviceShuffleVerifier:
             sf.neg(z)[:, None, :],              # zG: -z * sum_G          [1]
             mh_x_exp,                           # c_D_mh: x^i * mh_cB     [m]
             mh_x_exp[:, :m - 1],                # c_D tail terms        [m-1]
-            exp_x,                              # G_agg terms             [N]
-            exp_x,                              # H_agg terms             [N]
-            bcast(ddh_chal, 2),                 # c*G_dash, c*H_dash      [2]
             bcast(mepk[:, m + 1], 2),           # pk reenc: b*base_{g,h}  [2]
             mec[:, m + 1][:, None, :],          # mec reenc: b*BASE       [1]
         ], axis=1)
         mul_pts = _lane_cat([
             cA_pts, sum_G, mh_pts,
             pt.ExtPoint(*(c[:, 1:m] for c in mh_pts)),
-            in_g, in_h, ddh_pts, base_g, base_h,
+            base_g, base_h,
             pt.ExtPoint(*(jnp.broadcast_to(c[None, None],
                                            (B, 1) + c.shape)
                           for c in pt.basepoint(()))),
         ])
-        prods = _barrier_pt(_mul_pt(mul_scal, mul_pts))  # ONE batched kernel
+        prods = _barrier_pt(self._mul_pt_dispatch(mul_scal, mul_pts))
+        # Every per-lane statement aggregation as SIX rows of one
+        # per-row MSM over [in_pks | DDH point] (N+1 points each):
+        #   r0: G = sum x^i g_i              r1: H = sum x^i h_i
+        #   r2: g_r = z_ddh*G + c*G_dash = sum (z_ddh x^i) g_i + c*G_dash
+        #   r3: h_r = z_ddh*H + c*H_dash
+        #   r4: t*G (commitment-multiexpo reencryption, key pk_GH)
+        #   r5: t*H
+        # This removes the old two-stage dependency (aggregate THEN
+        # multiply the aggregate): all six come out of one shared-doubling
+        # pass (Pallas pipeline on TPU, XLA rows form elsewhere).
+        mec_t = mec[:, m + 3]
+        zx = sf.mul(exp_x, ddh_z[:, None, :])             # z_ddh * x^i
+        tx_ = sf.mul(exp_x, mec_t[:, None, :])            # t * x^i
+        zero1 = sf.zeros((B, 1))
+        chal1 = ddh_chal[:, None, :]
+        row_scal = jnp.stack([
+            jnp.concatenate([exp_x, zero1], axis=1),
+            jnp.concatenate([exp_x, zero1], axis=1),
+            jnp.concatenate([zx, chal1], axis=1),
+            jnp.concatenate([zx, chal1], axis=1),
+            jnp.concatenate([tx_, zero1], axis=1),
+            jnp.concatenate([tx_, zero1], axis=1),
+        ], axis=1)                                        # [B, 6, N+1]
+        g_dash = pt.ExtPoint(*(c[:, 0:1] for c in ddh_pts))
+        h_dash = pt.ExtPoint(*(c[:, 1:2] for c in ddh_pts))
+        g_row = _lane_cat([in_g, g_dash])                 # [B, N+1]
+        h_row = _lane_cat([in_h, h_dash])
+        row_pts = pt.ExtPoint(*(jnp.stack([g, h, g, h, g, h], axis=1)
+                                for g, h in zip(g_row, h_row)))
+        rows_nib = _to_nibbles(row_scal).reshape(B * 6, N + 1, 64)
+        rows_flat = pt.ExtPoint(*(c.reshape((B * 6, N + 1) + c.shape[3:])
+                                  for c in row_pts))
+        if self._use_pallas_pt:
+            from ..ops import pallas_point as kp
+
+            rows_out = kp.msm_rows_pallas(rows_nib, rows_flat)
+        else:
+            rows_out = _msm_rows_jit(rows_nib, rows_flat)
+        rows_out = _barrier_pt(pt.ExtPoint(
+            *(c.reshape((B, 6) + c.shape[1:]) for c in rows_out)))
+
+        def row(i):
+            return pt.ExtPoint(*(c[:, i] for c in rows_out))
         if self._stop_at == "mulphase":
             return jnp.logical_and(jnp.all(lane_ok),
                                    jnp.all(~pt.is_identity_raw(prods)))
@@ -557,9 +638,6 @@ class DeviceShuffleVerifier:
         zG = nxt(1)
         c_D_mh = nxt(m)
         c_D_tail = nxt(m - 1)
-        G_terms = nxt(N)
-        H_terms = nxt(N)
-        ddh_dash = nxt(2)
         re_pk = nxt(2)
         re_bB = nxt(1)
         assert off == mul_scal.shape[1]
@@ -579,29 +657,18 @@ class DeviceShuffleVerifier:
                              axis=1)
         checks.check(s2, _lane_cat([H_pt, G_pts, commit_D, c_Bm_pt]))
 
-        G_agg = _barrier_pt(_sum_points_jit(G_terms, 1))   # [B]
-        H_agg = _barrier_pt(_sum_points_jit(H_terms, 1))
-
-        # phase-2 multiplications (operands produced by phase 1): DDH
-        # responses on (G, H) and the commitment-multiexpo reencryption,
-        # whose key is pk_GH = (G_agg, H_agg) — NOT the base pk
+        # all six statement aggregates come out of the one rows-MSM above.
+        # DDH responses use pk_GH = (G_agg, H_agg) — NOT the base pk
         # (shuffle.rs:502-513 passes pk_GH into the commitment variant).
-        # Transcript-independent, so they run BEFORE the DDH appends —
-        # every point that needs a ristretto encoding is then ready and
-        # ONE batched compress serves the eq-checks and the transcript
-        # (the unrolled inversion chain otherwise inlines ~4k HLO ops per
-        # compress call site).
-        GH_pair = pt.ExtPoint(*(jnp.stack([g, h, g, h], axis=1)
-                                for g, h in zip(G_agg, H_agg)))
-        p2_scal = jnp.concatenate(
-            [bcast(ddh_z, 2), bcast(mec[:, m + 3], 2)], axis=1)
-        p2 = _mul_pt(p2_scal, GH_pair)          # [B, 4]
-        g_r = _add_jit(pt.ExtPoint(*(c[:, 0] for c in p2)),
-                       pt.ExtPoint(*(c[:, 0] for c in ddh_dash)))
-        h_r = _add_jit(pt.ExtPoint(*(c[:, 1] for c in p2)),
-                       pt.ExtPoint(*(c[:, 1] for c in ddh_dash)))
-        re_c0 = pt.ExtPoint(*(c[:, 2:3] for c in p2))   # t * G_agg
-        re_c1 = pt.ExtPoint(*(c[:, 3:4] for c in p2))   # t * H_agg
+        # They are transcript-independent, so every point that needs a
+        # ristretto encoding is ready BEFORE the DDH appends and ONE
+        # batched compress serves the eq-checks and the transcript.
+        G_agg = row(0)                                   # [B]
+        H_agg = row(1)
+        g_r = row(2)                                     # z*G + c*G_dash
+        h_r = row(3)
+        re_c0 = pt.ExtPoint(*(c[:, None] for c in row(4)))   # t * G_agg
+        re_c1 = pt.ExtPoint(*(c[:, None] for c in row(5)))   # t * H_agg
 
         # consolidated encode: [c_E(m) | G_agg | H_agg | g_r | h_r]
         enc_in = pt.ExtPoint(*(
@@ -680,7 +747,7 @@ class DeviceShuffleVerifier:
         if self._stop_at == "multiexpo":
             return jnp.all(lane_ok)
         assert checks._ctr == self.NCHECKS, checks._ctr
-        msm_ok = checks.verify_msm()
+        msm_ok = checks.verify_msm(use_pallas=self._use_pallas_msm)
         return jnp.logical_and(jnp.all(lane_ok), msm_ok)
 
     def _multiexpo(self, dt, checks, label, w_A0, w_cBk, w_Ek0, w_Ek1,
@@ -876,6 +943,35 @@ class DeviceShuffleVerifier:
                            for s in snaps]).astype(np.int32)
         return comp.astype(np.int32), scal.astype(np.int32), states, frame
 
+    def warmup(self, transcripts=None) -> None:
+        """Compile (or load from the persistent cache) this shape bucket's
+        program without a real batch, so the first request runs at
+        steady-state latency. Zero bytes decode as the identity point and
+        the zero scalar, which exercise the identical program; the (False)
+        verdict is discarded. Pass `transcripts` with the embedded-protocol
+        prefix to warm that jit specialization instead of the standalone
+        one (the static frame selects the specialization)."""
+        from ..accounts.transcript import Transcript
+        from ..accounts.verifier import Verifier
+
+        B = self.batch
+        if transcripts is None:
+            transcripts = []
+            for _ in range(B):
+                t = Transcript(self.transcript_label)
+                Verifier(self.proof_label, t)
+                transcripts.append(t)
+        snaps = [snapshot_host_strobe(t.strobe) for t in transcripts]
+        frame = snaps[0][1:]
+        states = np.stack([np.frombuffer(s[0], np.uint8)
+                           for s in snaps]).astype(np.int32)
+        comp = np.zeros((B, self._npoints, 32), np.int32)
+        scal = np.zeros((B, self._nscalars, 32), np.int32)
+        weights = np.zeros((B, self.NCHECKS, 64), np.int32)
+        bool(self._verify_jit(jnp.asarray(comp), jnp.asarray(scal),
+                              jnp.asarray(weights), jnp.asarray(states),
+                              frame))
+
     def verify(self, entries, transcripts=None, rng=None) -> None:
         """entries: (proof, statement, input accounts, output accounts) x B.
         Raises ValueError unless every lane verifies."""
@@ -917,8 +1013,13 @@ class DeviceShuffleVerifier:
             ok = self._build(c, s, w, st, frame)
             return jax.lax.psum(jnp.where(ok, 0, 1).astype(jnp.int32), axis)
 
-        nbad = jax.jit(run)(jnp.asarray(comp), jnp.asarray(scal),
-                            jnp.asarray(weights), jnp.asarray(states))
+        prev = (self._use_pallas_msm, self._use_pallas_pt)
+        self._use_pallas_msm = self._use_pallas_pt = False  # trace-time flags
+        try:
+            nbad = jax.jit(run)(jnp.asarray(comp), jnp.asarray(scal),
+                                jnp.asarray(weights), jnp.asarray(states))
+        finally:
+            self._use_pallas_msm, self._use_pallas_pt = prev
         if int(nbad):
             raise ValueError(
                 "Device batched shuffle verification failed (sharded)")

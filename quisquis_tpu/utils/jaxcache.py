@@ -1,0 +1,102 @@
+"""One shared persistent XLA compilation cache for every entry point.
+
+Per-shape compilation of the one-program device verifiers/provers costs
+minutes on a real chip (measured round 3/4: ~508 s cold for
+``DeviceShuffleVerifier(m=8, batch=16)``, ~424 s for
+``DeviceRangeVerifier(n=64, m=1, batch=256)``). A production service must
+never pay that on its first request, and an executable compiled by the
+benchmark harness should be reusable by tests and serving. This module is
+the single switch:
+
+- :func:`enable_persistent_cache` points the process at ONE cache
+  directory (``$QQ_JAX_CACHE``, else ``<repo>/.jax_cache`` in a checkout,
+  else ``~/.cache/quisquis_tpu/jax``). Tests, ``benchmarks.py``, the CLI
+  and the serving services all call it, so they share executables.
+- The device dispatcher classes expose ``warmup()`` (compile a shape
+  bucket up front on zero-filled inputs); :func:`warmup` here drives them
+  from a list of shape descriptors so a service can pre-compile at start.
+
+The reference has no analog (single-process Rust, no JIT); this is pure
+TPU-deployment infrastructure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence, Tuple
+
+_ENV = "QQ_JAX_CACHE"
+_enabled_dir: str | None = None
+
+
+def default_cache_dir() -> str:
+    """Resolve the shared cache directory (see module docstring)."""
+    env = os.environ.get(_ENV)
+    if env:
+        return env
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg)
+    if os.path.exists(os.path.join(repo, "pyproject.toml")):
+        return os.path.join(repo, ".jax_cache")
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "quisquis_tpu", "jax")
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Enable jax's persistent compilation cache at the shared directory.
+
+    Idempotent; safe to call before or after jax initializes a backend.
+    Returns the directory in use.
+    """
+    global _enabled_dir
+    import jax
+
+    if cache_dir is None:
+        cache_dir = default_cache_dir()
+    if _enabled_dir == cache_dir:
+        return cache_dir
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # the device-verifier executables are the whole point of the cache:
+    # cache everything that took real compile time, regardless of size
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled_dir = cache_dir
+    return cache_dir
+
+
+#: shape descriptors accepted by :func:`warmup`:
+#:   ("shuffle", m, batch)            — DeviceShuffleVerifier
+#:   ("range", n, m, batch)           — DeviceRangeVerifier
+#:   ("range-prove", n, m, batch)     — DeviceRangeProver
+ShapeDesc = Tuple
+
+
+def warmup(shapes: Iterable[ShapeDesc], verbose: bool = False) -> None:
+    """Compile device dispatcher programs for the given shape buckets.
+
+    After ``warmup``, the first real request on each listed shape runs at
+    steady-state latency (the compile either happened here or was loaded
+    from the persistent cache).
+    """
+    import time
+
+    enable_persistent_cache()
+    for desc in shapes:
+        kind = desc[0]
+        t0 = time.time()
+        if kind == "shuffle":
+            from ..shuffle.device_verify import get_device_shuffle_verifier
+
+            get_device_shuffle_verifier(desc[1], desc[2]).warmup()
+        elif kind == "range":
+            from ..bulletproofs.device_verify import get_device_range_verifier
+
+            get_device_range_verifier(desc[1], desc[2], desc[3]).warmup()
+        elif kind == "range-prove":
+            from ..bulletproofs.device_prove import get_device_range_prover
+
+            get_device_range_prover(desc[1], desc[2], desc[3]).warmup()
+        else:
+            raise ValueError(f"unknown warmup shape kind {kind!r}")
+        if verbose:
+            print(f"warmup {desc}: {time.time() - t0:.1f}s", flush=True)

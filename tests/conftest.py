@@ -5,6 +5,7 @@ Multi-chip hardware is not available in CI; sharding tests use
 """
 
 import os
+import sys
 
 # QQ_TPU_TESTS=1 leaves the real accelerator visible so
 # tests/test_tpu_hardware.py can gate bit-exactness on the actual chip:
@@ -19,28 +20,58 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# persistent compilation cache: the limb-arithmetic graphs are large and
-# dominate test wall-clock; cache them across runs (env var is not honored by
-# this jax build, so use config.update)
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Block the zstandard cache codec BEFORE jax imports it: compressing the
-# multi-MB device-verifier executables through zstandard.backend_c aborts
-# the process mid-suite (glibc abort inside backend_compile_and_load with
-# zstandard loaded; reproducible at tests/test_serving.py in a full run).
-# jax's compilation cache falls back to zlib when the import fails.
-import sys
-
-sys.modules["zstandard"] = None  # type: ignore[assignment]
 import jax  # noqa: E402
 
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
+# persistent compilation cache: the limb-arithmetic graphs are large and
+# dominate test wall-clock; cache them across runs. The directory is the
+# ONE shared cache (utils.jaxcache) also used by benchmarks/serving/CLI.
+from quisquis_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-import sys
+import pytest  # noqa: E402
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled executables after each test module.
+
+    A single monolithic run compiles hundreds of XLA:CPU executables —
+    several of them (the one-program device verifiers/provers) tens of MB
+    of JITed code each. Keeping every one alive in one process eventually
+    segfaults LLVM/XLA during a *later* compile (reproduced at
+    test_serving's device-batched shuffle compile after ~135 tests; the
+    identical compile succeeds in a fresh process). Dropping jax's jit
+    caches at module boundaries frees the executables (and their code
+    memory); subsequent modules reload from the persistent cache, so the
+    wall-clock cost is small.
+    """
+    yield
+    jax.clear_caches()
+    # the device dispatcher instance caches hold jitted callables whose
+    # specializations clear_caches() just dropped; drop the instances too
+    # so nothing pins stale executables
+    try:
+        from quisquis_tpu.shuffle import device_verify as _sdv
+
+        _sdv._VERIFIER_CACHE.clear()
+    except Exception:
+        pass
+    try:
+        from quisquis_tpu.bulletproofs import device_verify as _bdv
+        from quisquis_tpu.bulletproofs import device_prove as _bdp
+
+        _bdv._VERIFIER_CACHE.clear()
+        _bdp._PROVER_CACHE.clear()
+    except Exception:
+        pass
+    import gc
+
+    gc.collect()

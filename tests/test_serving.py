@@ -233,3 +233,25 @@ def test_shuffle_service_device_batched_backend():
         bad[100] ^= 1
         with pytest.raises(ValueError):
             svc.verify_wire([bytes(bad), blobs[1]])
+
+
+def test_range_proving_service_device_batched():
+    """RangeProvingService proves request batches through the one-program
+    device prover; proofs verify and match the host backend byte-for-byte
+    under the same seed."""
+    from quisquis_tpu.accounts.transcript import Transcript
+    from quisquis_tpu.serving import RangeProvingService
+
+    rng = SeededRng(seed=b"rps")
+    reqs = [([i + 1, 100 + i], [rng.random_scalar(), rng.random_scalar()])
+            for i in range(3)]
+    dev = RangeProvingService(n_bits=8, backend="device-batched",
+                              seed=b"rps-seed")
+    host = RangeProvingService(n_bits=8, backend="host", seed=b"rps-seed")
+    out_d = dev.prove(reqs)
+    out_h = host.prove(reqs)
+    assert len(out_d) == len(out_h) == 3
+    for (pd, vd), (ph, vh) in zip(out_d, out_h):
+        assert pd.to_bytes() == ph.to_bytes()
+        assert vd == vh
+        pd.verify_multiple(Transcript(b"RangeProof"), vd, 8)

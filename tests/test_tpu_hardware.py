@@ -116,3 +116,87 @@ def test_device_range_verifier_on_tpu():
     proofs[0] = RangeProof.from_bytes(bytes(blob))
     with pytest.raises(ValueError):
         drv.verify(proofs, vlists, rng=SeededRng(seed=b"w2"))
+
+
+def test_device_shuffle_verifier_on_tpu():
+    """Round-4 gate (VERDICT r3 item 9): the one-program shuffle verifier
+    at the headline shape (m=8, 64 accounts) accepts/rejects on the real
+    chip. Two distinct proofs tiled to the 16-lane bucket; executables
+    load from the shared persistent cache after the first run."""
+    from quisquis_tpu.accounts.accounts import Account
+    from quisquis_tpu.accounts.prover import Prover
+    from quisquis_tpu.accounts.transcript import SeededRng, Transcript
+    from quisquis_tpu.primitives.keys import (RistrettoPublicKey,
+                                              RistrettoSecretKey)
+    from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof
+    from quisquis_tpu.shuffle.device_verify import DeviceShuffleVerifier
+
+    m, B = 8, 16
+    r = SeededRng(seed=b"tpu-dsv")
+    accounts = []
+    for _ in range(m * m):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        accounts.append(acc)
+    entries = []
+    for _ in range(2):
+        sh = Shuffle.input_shuffle(accounts, rng=r)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=r)
+        proof, stmt = ShuffleProof.create_shuffle_proof(prover, sh, rng=r)
+        entries.append((proof, stmt, sh.get_inputs_vector(),
+                        sh.get_outputs_vector()))
+    entries = [entries[i % 2] for i in range(B)]
+    dsv = DeviceShuffleVerifier(m, B)
+    dsv.verify(entries, rng=SeededRng(seed=b"w"))
+    # tamper one lane -> whole batch rejects
+    from quisquis_tpu.utils import serde
+
+    blob = bytearray(serde.shuffle_entry_to_bytes(*entries[3]))
+    blob[200] ^= 1
+    entries[3] = serde.shuffle_entry_from_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        dsv.verify(entries, rng=SeededRng(seed=b"w2"))
+
+
+def test_device_range_prover_byte_identity_on_tpu():
+    """DeviceRangeProver emits byte-identical proofs on the real chip."""
+    from quisquis_tpu.accounts.transcript import SeededRng, Transcript
+    from quisquis_tpu.bulletproofs.range_proof import RangeProof
+    from quisquis_tpu.bulletproofs.device_prove import DeviceRangeProver
+
+    r = SeededRng(seed=b"tpu-drp")
+    values = [[5, 200], [7, 13]]
+    blinds = [[r.random_scalar(), r.random_scalar()] for _ in range(2)]
+    drp = DeviceRangeProver(8, 2, 2)
+    proofs, vlists = drp.prove(
+        values, blinds,
+        rngs=[SeededRng(seed=b"lane-%d" % i) for i in range(2)])
+    for i in range(2):
+        hp, hv = RangeProof.prove_multiple(
+            Transcript(b"RangeProof"), values[i], blinds[i], 8,
+            rng=SeededRng(seed=b"lane-%d" % i))
+        assert vlists[i] == hv
+        assert proofs[i].to_bytes() == hp.to_bytes()
+
+
+def test_device_batched_transaction_on_tpu():
+    """backend='device-batched' transaction verification end-to-end on the
+    real chip: every embedded shuffle and range proof rides the
+    one-program device verifiers."""
+    from quisquis_tpu.accounts.transcript import SeededRng
+    from quisquis_tpu.transaction.transaction import (
+        batch_verify_transactions)
+    from tests.test_serving import make_items
+
+    items = make_items(2, b"tpu-devb")
+    batch_verify_transactions(items, backend="device-batched", seed=b"s")
+    from quisquis_tpu.utils import serde
+
+    blob = bytearray(serde.transaction_proof_to_bytes(items[1][1]))
+    blob[40] ^= 1
+    bad = serde.transaction_proof_from_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        batch_verify_transactions([(items[0][0], items[0][1]),
+                                   (items[1][0], bad)],
+                                  backend="device-batched", seed=b"s")

@@ -1,0 +1,107 @@
+"""Phase profile of the one-program device shuffle verifier on the chip.
+
+Maintained measurement tool (not scratch): times the DeviceShuffleVerifier
+program truncated after each phase (its `_stop_at` debug knob) so the
+steady-state wall-clock can be attributed to decompress / transcript+scalar
+work / the consolidated scalar-mul phase / the final MSM. Feeds the
+crossover table in shuffle/shuffle.py and BENCHMARKS.md §5e.
+
+Usage:
+    python tools/profile_device_shuffle.py [m] [B] [phase ...]
+e.g.
+    python tools/profile_device_shuffle.py 8 16            # all phases
+    python tools/profile_device_shuffle.py 8 64 full       # one point
+
+Each phase variant is its own XLA executable (~minutes cold per shape on
+a real chip); results load from the shared persistent cache on re-runs.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quisquis_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+
+print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+from quisquis_tpu.accounts.accounts import Account  # noqa: E402
+from quisquis_tpu.accounts.prover import Prover  # noqa: E402
+from quisquis_tpu.accounts.transcript import SeededRng, Transcript  # noqa: E402
+from quisquis_tpu.shuffle.device_verify import DeviceShuffleVerifier  # noqa: E402
+from quisquis_tpu.shuffle.shuffle import Shuffle, ShuffleProof  # noqa: E402
+from quisquis_tpu.primitives.keys import (RistrettoPublicKey,  # noqa: E402
+                                          RistrettoSecretKey)
+
+PHASES = ["decompress", "hadamard", "scalars", "mulphase", "ddh",
+          "multiexpo", "full"]
+
+
+def build_entries(m: int, B: int, distinct: int = 4):
+    rng = SeededRng(seed=b"profile-shuffle")
+    accounts = []
+    for _ in range(m * m):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        accounts.append(acc)
+    t0 = time.time()
+    entries = []
+    for _ in range(min(B, distinct)):
+        sh = Shuffle.input_shuffle(accounts, rng=rng)
+        prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"), rng=rng)
+        proof, stmt = ShuffleProof.create_shuffle_proof(prover, sh, rng=rng)
+        entries.append((proof, stmt, sh.get_inputs_vector(),
+                        sh.get_outputs_vector()))
+    while len(entries) < B:
+        entries.append(entries[len(entries) % distinct])
+    print(f"proved {B} (m={m}) in {time.time() - t0:.1f}s", flush=True)
+    return entries
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    phases = sys.argv[3:] or PHASES
+    entries = build_entries(m, B)
+    results = {}
+    for phase in phases:
+        dsv = DeviceShuffleVerifier(m, B)
+        dsv._stop_at = None if phase == "full" else phase
+        t0 = time.time()
+        try:
+            dsv.verify(entries, rng=SeededRng(seed=b"w"))
+        except ValueError:
+            pass  # truncated programs return False; timing is what matters
+        compile_s = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            try:
+                dsv.verify(entries, rng=SeededRng(seed=b"w"))
+            except ValueError:
+                pass
+            reps.append(time.time() - t0)
+        steady = min(reps)
+        results[phase] = steady
+        print(f"{phase:12s} compile+run {compile_s:7.1f}s  steady "
+              f"{steady * 1e3:7.1f} ms  ({B / steady:6.1f} proofs/s)",
+              flush=True)
+    if "full" in results:
+        prev = 0.0
+        print("\nphase deltas (steady):")
+        for phase in PHASES:
+            if phase not in results:
+                continue
+            d = results[phase] - prev
+            print(f"  {phase:12s} +{d * 1e3:7.1f} ms")
+            prev = results[phase]
+
+
+if __name__ == "__main__":
+    main()
