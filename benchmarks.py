@@ -291,9 +291,19 @@ def config5e_device_shuffle_verify(batch=16, n=64):
         t0 = time.perf_counter()
         dsv.verify(entries, rng=SeededRng(seed=b"w2"))
         best = min(best, time.perf_counter() - t0)
+    # host comparison: the same batch through the one-MSM replay path
+    from quisquis_tpu.accounts.verifier import Verifier
+    from quisquis_tpu.shuffle.shuffle import batch_verify_shuffle_proofs
+
+    t0 = time.perf_counter()
+    batch_verify_shuffle_proofs(
+        [(p, Verifier(b"Shuffle", Transcript(b"ShuffleProof")), st, i_, o_)
+         for p, st, i_, o_ in entries], backend="host", seed=b"hw")
+    t_host = time.perf_counter() - t0
     record("5e: on-device shuffle verification (full replay on TPU)",
            round(batch / best, 1), "proofs/s",
-           f"batch={batch}, {n}-account set, one upload + one bool fetch")
+           f"batch={batch}, {n}-account set, one upload + one bool fetch; "
+           f"host one-MSM batch {batch/t_host:.1f}/s")
 
 
 def config5_shuffle_64():
@@ -586,6 +596,8 @@ def main():
     config5_shuffle_64()
     config5c_batch_shuffle_verify()
     config5d_shuffle_serving()
+    if os.environ.get("QQ_BENCH_DEVICE_PROVE") == "1":
+        config4e_device_range_prove()     # compile-expensive; opt-in
     if os.environ.get("QQ_BENCH_DEVICE_SHUFFLE") == "1":
         config5e_device_shuffle_verify()  # compile-expensive; opt-in
     config6_transaction_serving()

@@ -572,12 +572,18 @@ class DeviceShuffleProver:
         out_scal += [sf.to_bytes_array(jnp.stack([ddh_chal, ddh_z], axis=1))]
 
         # ---- Multi-exponentiation (multiexponential.py:116-190) ----
+        # pk variant reencrypts under the real base pk; the commit variant
+        # under pk_GH = (G, H) with randomness -rho (shuffle.py:249-257,
+        # shuffle.rs:502-513)
+        G_agg = pt.ExtPoint(*(c[:, 0] for c in ddh_out))
+        H_agg = pt.ExtPoint(*(c[:, 1] for c in ddh_out))
         mepk = self._multiexpo(
             dt, b"MultiExponentialPubKeyProof", ent[:, 7],
             bd_rows, s_dash, o_g, o_h, reenc_base=("pk", None))
         mec = self._multiexpo(
             dt, b"MultiExponentialElgamalCommmitmentProof", ent[:, 8],
-            b_rows, s_vec, o_c, o_d, reenc_base=("commit", rho))
+            b_rows, s_vec, o_c, o_d,
+            reenc_base=("commit", (sf.neg(rho), G_agg, H_agg)))
         out_pts += mepk[0] + mec[0]
         out_scal += mepk[1] + mec[1]
         # ZeroStatement carries c_prod_A[1:m] (the verifier reconstructs
@@ -594,9 +600,11 @@ class DeviceShuffleProver:
 
         a_rows [B, m, n] witness; s_blind [B, m]; pts0/pts1 [B, N] the
         shuffled output components (g/h or c/d). reenc_base selects the
-        reencryption form: ("pk", None) adds b_k*base to both components;
-        ("commit", rho) adds Enc_base(b_k; tau_k) with tau_m pinned to
-        rho (multiexponential.rs:163-242 semantics)."""
+        reencryption form: ("pk", None) adds b_k*base_pk to both
+        components; ("commit", (neg_rho, G_agg, H_agg)) adds
+        Enc_pk_GH(b_k; tau_k) with tau_m pinned to -rho — the shuffle
+        caller passes pk_GH and the negated reencryption randomness
+        (shuffle.py:254-257, multiexponential.rs:163-242)."""
         m, N, B = self.m, self.N, a_rows.shape[0]
         n = m
         dt.domain_sep(label)
@@ -617,8 +625,9 @@ class DeviceShuffleProver:
 
         kind, rho = reenc_base
         if kind == "commit":
+            neg_rho, gh0, gh1 = rho
             tau_vec = self._draws(rng, 2 * m)
-            tau_vec = tau_vec.at[:, m].set(rho)
+            tau_vec = tau_vec.at[:, m].set(neg_rho)
 
         # E_k rows: coeffs over [row-major outputs | base points]
         # E_k = sum_i <a_{i+k-m+1}, row_i> + reenc_k
@@ -649,20 +658,25 @@ class DeviceShuffleProver:
                  b1, b1], axis=2)
                 for h, b1 in zip(pts1, bc(self._base_h, 2 * m))))
         else:
-            # E0_k over c-rows + tau_k*base_g ;
-            # E1_k over d-rows + b_k*BASE + tau_k*base_h
+            # E0_k over c-rows + tau_k*G_pkGH ;
+            # E1_k over d-rows + b_k*BASE + tau_k*H_pkGH
             c0 = jnp.concatenate([coeff, tau_vec[:, :, None], zero2], axis=2)
             c1 = jnp.concatenate([coeff, b_vec[:, :, None],
                                   tau_vec[:, :, None]], axis=2)
+
+            def lane_pt(p, k):
+                return pt.ExtPoint(*(jnp.broadcast_to(
+                    c[:, None, None], (B, k, 1) + c.shape[1:]) for c in p))
+
             p0 = pt.ExtPoint(*(jnp.concatenate(
                 [jnp.broadcast_to(g[:, None], (B, 2 * m) + g.shape[1:]),
-                 bg, bg], axis=2)
-                for g, bg in zip(pts0, bc(self._base_g, 2 * m))))
+                 gg, gg], axis=2)
+                for g, gg in zip(pts0, lane_pt(gh0, 2 * m))))
             p1 = pt.ExtPoint(*(jnp.concatenate(
                 [jnp.broadcast_to(h[:, None], (B, 2 * m) + h.shape[1:]),
-                 bb, bh], axis=2)
-                for h, bb, bh in zip(pts1, bc(self._basepoint, 2 * m),
-                                     bc(self._base_h, 2 * m))))
+                 bb, hh], axis=2)
+                for h, bb, hh in zip(pts1, bc(self._basepoint, 2 * m),
+                                     lane_pt(gh1, 2 * m))))
         ek = self._rows_msm(
             jnp.concatenate([c0, c1], axis=1),
             pt.ExtPoint(*(jnp.concatenate([a, b], axis=1)

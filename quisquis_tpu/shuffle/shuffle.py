@@ -418,6 +418,58 @@ def _advance_shuffle_transcript(proof: ShuffleProof, verifier: Verifier,
 ShuffleProof.advance_transcript = _advance_shuffle_transcript
 
 
+def batch_create_shuffle_proofs(shuffles, rngs=None, backend="host",
+                                min_bucket: int = 2):
+    """Prove many shuffles; returns [(proof, statement)] in order.
+
+    backend "host" loops ShuffleProof.create_shuffle_proof (each with its
+    own Prover/Transcript); "device-batched" groups shuffles by
+    anonymity-set size, pads each group to a power-of-two lane bucket and
+    proves it as ONE jitted device program (shuffle.device_prove) —
+    byte-identical to the host prover under the same per-lane RNG
+    streams. The device prover's compile cost is the heaviest in the
+    framework (tens of minutes cold per shape); "auto" therefore stays on
+    the host until a warmed deployment opts in explicitly.
+
+    Reference prove path: /root/reference/src/shuffle/shuffle.rs:361-532
+    (one proof at a time).
+    """
+    shuffles = list(shuffles)
+    if rngs is None:
+        rngs = [SeededRng() for _ in shuffles]
+    if backend in ("host", "auto"):
+        out = []
+        for sh, rng in zip(shuffles, rngs):
+            from ..accounts.transcript import Transcript
+
+            prover = Prover(b"Shuffle", Transcript(b"ShuffleProof"),
+                            rng=rng)
+            out.append(ShuffleProof.create_shuffle_proof(prover, sh,
+                                                         rng=rng))
+        return out
+    if backend != "device-batched":
+        raise ValueError(f"unknown backend {backend!r}")
+    from .device_prove import DeviceShuffleProver
+
+    groups: dict = {}
+    for i, sh in enumerate(shuffles):
+        groups.setdefault(len(sh.inputs), []).append(i)
+    results: list = [None] * len(shuffles)
+    for n_acc, idxs in sorted(groups.items()):
+        m = math.isqrt(n_acc)
+        if m * m != n_acc:
+            raise ValueError(f"anonymity set size {n_acc} is not square")
+        B = max(min_bucket, 1 << (len(idxs) - 1).bit_length())
+        pad_idx = idxs + [idxs[0]] * (B - len(idxs))
+        dsp = DeviceShuffleProver(m, B)
+        lane_rngs = [rngs[i] if k < len(idxs) else SeededRng()
+                     for k, i in enumerate(pad_idx)]
+        proved = dsp.prove([shuffles[i] for i in pad_idx], lane_rngs)
+        for k, i in enumerate(idxs):
+            results[i] = proved[k]
+    return results
+
+
 def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
                                 mesh=None, seed=None, workers=None) -> None:
     """Verify many shuffle proofs with ONE combined MSM (the TPU batch path).
@@ -448,16 +500,28 @@ def batch_verify_shuffle_proofs(entries, xpc_gens=None, backend="auto",
     from ..accounts.deferred import DeferredPointChecks
 
     entries = list(entries)
-    # Measured crossover (TPU v5 lite, round 4; see BENCHMARKS.md §5e):
-    #   m=8 B=16: host one-MSM batch 50.3 proofs/s, device-batched 19.0
-    #   m=3 B=16: host faster still (smaller MSM, same per-lane overhead)
-    # The device-batched verifier loses at every measured shuffle shape, so
-    # "auto" NEVER selects it here — the host replay path stays the default
-    # until a committed benchmark shows a device win (then encode the
-    # winning (m, B) rows in this table). Explicit
-    # backend="device-batched" still honors the request. "auto" still
-    # flows to DeferredPointChecks.verify, whose own measured crossover
-    # routes only the final combined MSM to the device at >=32768 terms.
+    # Measured crossover (TPU v5 lite chip, round 4, steady warm; see
+    # BENCHMARKS.md §5e):
+    #   m=8 B=16: device-batched 93.2 proofs/s vs host one-MSM 50.3
+    #             (round-3 device was 19.0; the Pallas rows-MSM/ladder
+    #             restructure of shuffle/device_verify.py is the delta)
+    #   m=8 B=64: device 84.9 proofs/s (B=16 is the throughput point)
+    #   m=3 B=16: device 151.6 proofs/s vs host ~150-200 (host wins or
+    #             ties at m=3 — its per-proof replay is 7x cheaper)
+    # So "auto" routes 64-account (m>=8) batches of >=8 proofs to the
+    # device verifier when a TPU backend is live; smaller anonymity sets
+    # stay on the host replay path. Production services should
+    # warmup() the (m, bucket) shapes at start (utils.jaxcache) — cold
+    # compile is minutes per shape. "auto" otherwise flows to
+    # DeferredPointChecks.verify, whose own measured crossover routes
+    # only the final combined MSM to the device at >=32768 terms.
+    if backend == "auto" and entries and xpc_gens is None:
+        import sys
+
+        n_acc = len(entries[0][3])
+        if ("jax" in sys.modules and len(entries) >= 8 and n_acc >= 64
+                and __import__("jax").default_backend() == "tpu"):
+            backend = "device-batched"
     if backend == "device-batched":
         from .device_verify import device_batch_verify
         from ..accounts.transcript import SeededRng

@@ -52,7 +52,14 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     import jax
 
     if cache_dir is None:
-        cache_dir = default_cache_dir()
+        # partition by active backend: XLA:CPU AOT executables record the
+        # compiling process's machine-feature set, and a TPU-plugin
+        # process emits CPU artifacts with a different flavor
+        # (+prefer-no-gather/-scatter) than a pure-CPU process — loading
+        # across that boundary warns "could lead to SIGILL". Separate
+        # subdirectories make every process read only its own flavor.
+        cache_dir = os.path.join(default_cache_dir(),
+                                 jax.default_backend())
     if _enabled_dir == cache_dir:
         return cache_dir
     jax.config.update("jax_compilation_cache_dir", cache_dir)
