@@ -31,4 +31,4 @@ dryrun:
 
 clean:
 	$(MAKE) -C native clean
-	rm -rf tests/.jax_cache quisquis_tpu/**/__pycache__ __pycache__
+	rm -rf .jax_cache tests/.jax_cache quisquis_tpu/**/__pycache__ __pycache__

@@ -180,9 +180,10 @@ def config4c_batch_verify(batch=256):
     t0 = time.perf_counter()
     RangeProof.batch_verify(
         [(p, V, Transcript(b"b4c%d" % i))
-         for i, (p, V) in enumerate(instances)], 64, rng=r)
+         for i, (p, V) in enumerate(instances)], 64, rng=r,
+        backend="host")   # the HOST batch row; 4d measures the device
     dt = time.perf_counter() - t0
-    record("4c: range proof batch-verify", batch / dt, "proofs/s",
+    record("4c: range proof batch-verify (host)", batch / dt, "proofs/s",
            f"batch={batch}, one MSM, {dt*1e3:.0f} ms total")
 
 
@@ -214,7 +215,7 @@ def config4d_device_range_verify(batch=64, n=64, m=16):
     t0 = time.perf_counter()
     RangeProof.batch_verify(
         [(p, V_, Transcript(b"RangeProof")) for p, V_ in zip(proofs, vlists)],
-        n, rng=SeededRng(seed=b"bw"))
+        n, rng=SeededRng(seed=b"bw"), backend="host")
     t_host = time.perf_counter() - t0
     record("4d: on-device range-proof verification (full replay on TPU)",
            round(batch / best, 1), "proofs/s",
@@ -304,6 +305,54 @@ def config5e_device_shuffle_verify(batch=16, n=64):
            round(batch / best, 1), "proofs/s",
            f"batch={batch}, {n}-account set, one upload + one bool fetch; "
            f"host one-MSM batch {batch/t_host:.1f}/s")
+
+
+def config5f_device_shuffle_prove(batch=16, n=9):
+    """Fully on-device batched shuffle PROVING (round 4): B whole shuffle
+    arguments as one jitted program (shuffle/device_prove.py),
+    byte-identical to the host prover under the same RNG streams. Host
+    comparison: the same shuffles through the host prover loop
+    (reference shape /root/reference/src/shuffle/shuffle.rs:361-532)."""
+    import math
+
+    from quisquis_tpu.accounts.accounts import Account
+    from quisquis_tpu.accounts.transcript import SeededRng
+    from quisquis_tpu.primitives.keys import (RistrettoPublicKey,
+                                              RistrettoSecretKey)
+    from quisquis_tpu.shuffle.shuffle import (Shuffle,
+                                              batch_create_shuffle_proofs)
+    from quisquis_tpu.shuffle.device_prove import DeviceShuffleProver
+
+    m = math.isqrt(n)
+    r = SeededRng(seed=b"bench5f")
+    accounts = []
+    for _ in range(n):
+        sk = RistrettoSecretKey.random(r)
+        pk = RistrettoPublicKey.from_secret_key(sk, r)
+        acc, _ = Account.generate_account(pk, r)
+        accounts.append(acc)
+    shuffles = [Shuffle.input_shuffle(accounts, rng=SeededRng(seed=b"s%d" % i))
+                for i in range(batch)]
+
+    def rngs():
+        return [SeededRng(seed=b"l%d" % i) for i in range(batch)]
+
+    t0 = time.perf_counter()
+    host = batch_create_shuffle_proofs(shuffles, rngs(), backend="host")
+    t_host = time.perf_counter() - t0
+    dsp = DeviceShuffleProver(m, batch)
+    dev = dsp.prove(shuffles, rngs())          # compile + warm
+    assert all(d[0] == h[0] and d[1] == h[1]
+               for d, h in zip(dev, host)), "device/host proof mismatch"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dsp.prove(shuffles, rngs())
+        best = min(best, time.perf_counter() - t0)
+    record("5f: on-device shuffle proving (one program, B lanes)",
+           round(batch / best, 1), "proofs/s",
+           f"batch={batch}, {n}-account set, byte-identical to host; host "
+           f"loop {batch/t_host:.1f}/s ({t_host/batch*1e3:.0f} ms/proof)")
 
 
 def config5_shuffle_64():
@@ -600,6 +649,8 @@ def main():
         config4e_device_range_prove()     # compile-expensive; opt-in
     if os.environ.get("QQ_BENCH_DEVICE_SHUFFLE") == "1":
         config5e_device_shuffle_verify()  # compile-expensive; opt-in
+    if os.environ.get("QQ_BENCH_DEVICE_SHUFFLE_PROVE") == "1":
+        config5f_device_shuffle_prove()   # heaviest compile; opt-in
     config6_transaction_serving()
     config6d_serving_processes()
     with open("BENCHMARKS.md", "w") as f:

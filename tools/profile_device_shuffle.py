@@ -64,10 +64,52 @@ def build_entries(m: int, B: int, distinct: int = 4):
     return entries
 
 
+def profile_prove(m: int, B: int):
+    """Steady-state throughput of the one-program device shuffle PROVER
+    vs the host prover loop (usage: ... <m> <B> prove)."""
+    from quisquis_tpu.shuffle.device_prove import DeviceShuffleProver
+    from quisquis_tpu.shuffle.shuffle import batch_create_shuffle_proofs
+
+    rng = SeededRng(seed=b"profile-prove")
+    accounts = []
+    for _ in range(m * m):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        accounts.append(acc)
+    shuffles = [Shuffle.input_shuffle(accounts, rng=SeededRng(seed=b"s%d" % i))
+                for i in range(B)]
+
+    def rngs():
+        return [SeededRng(seed=b"l%d" % i) for i in range(B)]
+
+    t0 = time.time()
+    host = batch_create_shuffle_proofs(shuffles, rngs(), backend="host")
+    t_host = time.time() - t0
+    print(f"host prove: {t_host * 1e3 / B:.1f} ms/proof "
+          f"({B / t_host:.1f} proofs/s)", flush=True)
+    dsp = DeviceShuffleProver(m, B)
+    t0 = time.time()
+    dev = dsp.prove(shuffles, rngs())
+    print(f"device first prove (compile+run): {time.time() - t0:.1f}s",
+          flush=True)
+    assert all(d[0] == h[0] and d[1] == h[1] for d, h in zip(dev, host)), \
+        "device/host proof mismatch"
+    for _ in range(3):
+        t0 = time.time()
+        dsp.prove(shuffles, rngs())
+        dt = time.time() - t0
+        print(f"device steady prove: {dt * 1e3:.0f} ms -> "
+              f"{B / dt:.1f} proofs/s", flush=True)
+
+
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     phases = sys.argv[3:] or PHASES
+    if phases == ["prove"]:
+        profile_prove(m, B)
+        return
     entries = build_entries(m, B)
     results = {}
     for phase in phases:
