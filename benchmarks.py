@@ -223,7 +223,7 @@ def config4d_device_range_verify(batch=64, n=64, m=16):
            f"{batch/t_host:.1f}/s -> device {best/batch*1e3:.1f} ms/proof")
 
 
-def config4e_device_range_prove(batch=8, n=64, m=16):
+def config4e_device_range_prove(batch=32, n=64, m=16):
     """Fully on-device batched range-proof PROVING (round 4): B aggregated
     proofs as one jitted program (bulletproofs/device_prove.py),
     byte-identical to the host prover under the same RNG streams. Host

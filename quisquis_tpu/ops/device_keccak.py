@@ -118,4 +118,18 @@ def _f1600_impl(state: jnp.ndarray) -> jnp.ndarray:
 # jitted: a transcript replay calls the permutation dozens of times with one
 # shape — the nested jit makes every call site share a single lowered
 # computation instead of inlining ~400 ops each into the outer graph
-f1600 = jax.jit(_f1600_impl)
+_f1600_xla = jax.jit(_f1600_impl)
+
+
+def f1600(state: jnp.ndarray) -> jnp.ndarray:
+    """Keccak-f[1600] on [..., 200] int32 byte states (batched).
+
+    On a real TPU the all-24-rounds-in-one-kernel Pallas form runs
+    (~15% faster in-program than the fori_loop XLA form, measured at 50
+    chained permutations on a v5 lite chip; bit-exact — on-chip gate in
+    tests/test_tpu_hardware.py); the XLA form runs elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas_keccak import f1600_pallas
+
+        return f1600_pallas(state)
+    return _f1600_xla(state)

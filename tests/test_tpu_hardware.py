@@ -200,3 +200,15 @@ def test_device_batched_transaction_on_tpu():
         batch_verify_transactions([(items[0][0], items[0][1]),
                                    (items[1][0], bad)],
                                   backend="device-batched", seed=b"s")
+
+
+def test_pallas_keccak_f1600_bit_exact_on_tpu():
+    """The one-kernel Pallas Keccak-f[1600] (all transcripts route
+    through it on TPU) matches the XLA form byte-for-byte on-chip."""
+    from quisquis_tpu.ops.device_keccak import _f1600_xla
+    from quisquis_tpu.ops.pallas_keccak import f1600_pallas
+
+    st = jnp.asarray(rng.integers(0, 256, size=(16, 200)).astype(np.int32))
+    want = np.asarray(_f1600_xla(st))
+    got = np.asarray(f1600_pallas(st))
+    assert (want == got).all()
