@@ -431,6 +431,19 @@ def batch_create_shuffle_proofs(shuffles, rngs=None, backend="host",
     framework (tens of minutes cold per shape); "auto" therefore stays on
     the host until a warmed deployment opts in explicitly.
 
+    Measured prove crossover (round 4, TPU v5e, steady warm):
+
+    ========  =====  ==============  ============
+    workload  B      host loop       device
+    ========  =====  ==============  ============
+    m=3       16     59.4 proofs/s   21.9 proofs/s
+    m=8       16      9.1 proofs/s   10.5 proofs/s
+    ========  =====  ==============  ============
+
+    The m=8 device edge (10.5 vs 9.1) is within run variance
+    (reps 10.5/10.4/9.1) and costs a ~34 min cold compile, so it does
+    not move the auto default; see BENCHMARKS.md 5f / 5f-64.
+
     Reference prove path: /root/reference/src/shuffle/shuffle.rs:361-532
     (one proof at a time).
     """
