@@ -437,8 +437,13 @@ def batch_create_shuffle_proofs(shuffles, rngs=None, backend="host",
     workload  B      host loop       device
     ========  =====  ==============  ============
     m=3       16     59.4 proofs/s   21.9 proofs/s
+    m=3       64     53.5 proofs/s   28.3 proofs/s
     m=8       16      9.1 proofs/s   10.5 proofs/s
     ========  =====  ==============  ============
+
+    Lane scaling at m=3 (45.6 -> 35 ms/proof from B=16 to B=64) shows
+    the program is per-lane-work bound, not transcript-serialization
+    bound: larger batches do not flip the m=3 crossover.
 
     The m=8 device edge (10.5 vs 9.1) is within run variance
     (reps 10.5/10.4/9.1) and costs a ~34 min cold compile, so it does
