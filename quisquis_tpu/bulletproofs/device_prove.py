@@ -129,7 +129,9 @@ class DeviceRangeProver:
         int32 in {0,1}; svecs: [B, 2, nm, 32] (s_L, s_R); rand4:
         [B, 4, 32] (a_blinding, s_blinding, t1_blinding, t2_blinding);
         states: [B, 200]; frame: static STROBE frame."""
-        n, m, B, nm, k = self.n, self.m, self.batch, self.nm, self.k
+        # B from the input shape (not self.batch): under shard_map the
+        # program runs per-shard with a sliced lane axis
+        n, m, B, nm, k = self.n, self.m, vb.shape[0], self.nm, self.k
         v = sf.from_bytes(vb)                       # [B, m, 24]
         bl = sf.from_bytes(blb)
         s_L = sf.from_bytes(svecs[:, 0])            # [B, nm, 24]
@@ -295,6 +297,32 @@ class DeviceRangeProver:
 
     # --------------------------------------------------------------- host
 
+    def _pack_lane(self, values_i, blindings_i, rng,
+                   vb_i, blb_i, bits_i, svecs_i, rand4_i) -> None:
+        """Pack one lane's witnesses, consuming `rng` in the host
+        prover's exact draw order (range_proof.py prove_multiple):
+        a_blinding, s_L, s_R, s_blinding, t1_blinding, t2_blinding."""
+        n, m, nm = self.n, self.m, self.nm
+        if len(values_i) != m:
+            raise ValueError("value count mismatch")
+        for v in values_i:
+            if not 0 <= v < (1 << n):
+                raise ValueError(f"value out of range for {n}-bit proof")
+        for j, (v, b_) in enumerate(zip(values_i, blindings_i)):
+            vb_i[j] = np.frombuffer(ex.sc_to_bytes(v), np.uint8)
+            blb_i[j] = np.frombuffer(ex.sc_to_bytes(b_), np.uint8)
+            for kk in range(n):
+                bits_i[j * n + kk] = (v >> kk) & 1
+        rand4_i[0] = np.frombuffer(
+            ex.sc_to_bytes(rng.random_scalar()), np.uint8)
+        for t in range(2):
+            for idx in range(nm):
+                svecs_i[t, idx] = np.frombuffer(
+                    ex.sc_to_bytes(rng.random_scalar()), np.uint8)
+        for t in (1, 2, 3):
+            rand4_i[t] = np.frombuffer(
+                ex.sc_to_bytes(rng.random_scalar()), np.uint8)
+
     def prove(self, values: Sequence[Sequence[int]],
               blindings: Sequence[Sequence[int]],
               rngs: Sequence, transcripts=None
@@ -314,28 +342,8 @@ class DeviceRangeProver:
         svecs = np.zeros((B, 2, nm, 32), np.uint8)
         rand4 = np.zeros((B, 4, 32), np.uint8)
         for i in range(B):
-            if len(values[i]) != m:
-                raise ValueError("value count mismatch")
-            for v in values[i]:
-                if not 0 <= v < (1 << n):
-                    raise ValueError(f"value out of range for {n}-bit proof")
-            rng = rngs[i]
-            for j, (v, b_) in enumerate(zip(values[i], blindings[i])):
-                vb[i, j] = np.frombuffer(ex.sc_to_bytes(v), np.uint8)
-                blb[i, j] = np.frombuffer(ex.sc_to_bytes(b_), np.uint8)
-                for kk in range(n):
-                    bits[i, j * n + kk] = (v >> kk) & 1
-            # host prover draw order: a_blinding, s_L, s_R, s_blinding,
-            # t1_blinding, t2_blinding (range_proof.py prove_multiple)
-            rand4[i, 0] = np.frombuffer(
-                ex.sc_to_bytes(rng.random_scalar()), np.uint8)
-            for t in range(2):
-                for idx in range(nm):
-                    svecs[i, t, idx] = np.frombuffer(
-                        ex.sc_to_bytes(rng.random_scalar()), np.uint8)
-            for t in (1, 2, 3):
-                rand4[i, t] = np.frombuffer(
-                    ex.sc_to_bytes(rng.random_scalar()), np.uint8)
+            self._pack_lane(values[i], blindings[i], rngs[i],
+                            vb[i], blb[i], bits[i], svecs[i], rand4[i])
         if transcripts is None:
             transcripts = [Transcript(self.label) for _ in range(B)]
         snaps = [snapshot_host_strobe(t.strobe) for t in transcripts]
@@ -350,8 +358,71 @@ class DeviceRangeProver:
                               jnp.asarray(svecs.astype(np.int32)),
                               jnp.asarray(rand4.astype(np.int32)),
                               frame, jnp.asarray(states))
+        return self._decode(out)
+
+    def prove_sharded(self, values: Sequence[Sequence[int]],
+                      blindings: Sequence[Sequence[int]],
+                      rngs: Sequence, mesh, transcripts=None
+                      ) -> Tuple[List[RangeProof], List[List[bytes]]]:
+        """prove() with the lane (batch) axis sharded over `mesh`.
+
+        Aggregated range proving is embarrassingly parallel across lanes
+        (BASELINE config 4 at multi-chip scale): each device runs the
+        full one-program prover on its lane slice; no collectives —
+        outputs stay lane-sharded until fetch. Byte-identical to prove()
+        (virtual-mesh identity test: tests/test_sharded_prove.py)."""
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..accounts.transcript import Transcript
+
+        ndev = mesh.devices.size
+        if self.batch % ndev:
+            raise ValueError(f"batch {self.batch} not divisible by "
+                             f"{ndev} devices")
+        n, m, B, nm = self.n, self.m, self.batch, self.nm
+        if len(values) != B or len(blindings) != B or len(rngs) != B:
+            raise ValueError("lane count mismatch")
+        vb = np.zeros((B, m, 32), np.uint8)
+        blb = np.zeros((B, m, 32), np.uint8)
+        bits = np.zeros((B, nm), np.int32)
+        svecs = np.zeros((B, 2, nm, 32), np.uint8)
+        rand4 = np.zeros((B, 4, 32), np.uint8)
+        for i in range(B):
+            self._pack_lane(values[i], blindings[i], rngs[i],
+                            vb[i], blb[i], bits[i], svecs[i], rand4[i])
+        if transcripts is None:
+            transcripts = [Transcript(self.label) for _ in range(B)]
+        snaps = [snapshot_host_strobe(t.strobe) for t in transcripts]
+        frame = snaps[0][1:]
+        if any(s[1:] != frame for s in snaps):
+            raise ValueError("lane transcripts diverged in framing")
+        states = np.stack([np.frombuffer(s[0], np.uint8)
+                           for s in snaps]).astype(np.int32)
+        axis = mesh.axis_names[0]
+        spec = P(axis)
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec,) * 6,
+                 out_specs=spec)
+        def run(v, bl, bt, sv, r4, st):
+            return self._build(v, bl, bt, sv, r4, frame, st)
+
+        # jit the shard_map: an eager shard_map call runs the body
+        # op-by-op per shard (measured 838 s on the virtual mesh) and
+        # never reaches the persistent cache
+        out = jax.jit(run)(jnp.asarray(vb.astype(np.int32)),
+                           jnp.asarray(blb.astype(np.int32)),
+                           jnp.asarray(bits),
+                           jnp.asarray(svecs.astype(np.int32)),
+                           jnp.asarray(rand4.astype(np.int32)),
+                           jnp.asarray(states))
+        return self._decode(out)
+
+    def _decode(self, out) -> Tuple[List[RangeProof], List[List[bytes]]]:
+        """Decode the 12 jit output arrays into (proofs, V byte lists)."""
         (V_b, A_b, S_b, T1_b, T2_b, txb_, txbb_, ebb_, L_arr, R_arr,
          a_fin, b_fin) = [np.asarray(o).astype(np.uint8) for o in out]
+        B, m = self.batch, self.m
         proofs, vlists = [], []
         for i in range(B):
             ipp = InnerProductProof(

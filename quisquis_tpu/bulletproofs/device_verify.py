@@ -376,7 +376,7 @@ class DeviceRangeVerifier:
         ICI. Raises ValueError unless every lane on every device passes."""
         from functools import partial
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         ndev = mesh.devices.size
         if self.batch % ndev:

@@ -98,7 +98,20 @@ class DeviceShuffleProver:
         self._base_h = pt.from_exact_batch([base_pk.grsk_point])
         self._basepoint = pt.from_exact_batch([ex.BASEPOINT])
         self._use_pallas = jax.default_backend() == "tpu"
+        #: debug/profiling knob: truncate _build after the named phase
+        #: ("commits" | "hadamard" | "product" | "ddh"; None = full).
+        #: tools/profile_device_shuffle.py <m> <B> prove-phases uses it to
+        #: attribute the prover's steady-state wall clock.
+        self._stop_at: Optional[str] = None
         self._prove_jit = jax.jit(self._build, static_argnums=8)
+
+    @staticmethod
+    def _truncated(out_pts, out_scal, ok):
+        """Early _build return for _stop_at profiling variants."""
+        pts = jnp.concatenate(out_pts, axis=1)
+        scal = (jnp.concatenate(out_scal, axis=1) if out_scal
+                else jnp.zeros((ok.shape[0], 1, 32), jnp.int32))
+        return pts, scal, ok
 
     # ------------------------------------------------------------- helpers
 
@@ -237,6 +250,8 @@ class DeviceShuffleProver:
             dt.append_point_var(b"BCommitment", cB_b[:, i])
             dt.append_point_var(b"BDashCommitment", cBd_b[:, i])
         out_pts += [cA_b, ctau_b, cB_b, cBd_b]
+        if self._stop_at == "commits":
+            return self._truncated(out_pts, out_scal, ok)
 
         # ---- Hadamard argument (hadamard.py:48-123) ----
         # a_rows = b', b_rows = tau, c_rows = b;
@@ -370,6 +385,9 @@ class DeviceShuffleProver:
                      sf.to_bytes_array(b_bar), sf.to_bytes_array(c_bar),
                      sf.to_bytes_array(jnp.stack(
                          [r_bar, s_bar, t_bar, rho_bar], axis=1))]
+
+        if self._stop_at == "hadamard":
+            return self._truncated(out_pts, out_scal, ok)
 
         # ---- y, z + e-matrix (shuffle.py:228-238) ----
         y = sf.from_bytes_wide(dt.get_challenge_bytes(b"yChallenge"))
@@ -546,6 +564,9 @@ class DeviceShuffleProver:
                      sf.to_bytes_array(jnp.stack(
                          [sv_r_bar, sv_s_bar, svp_b_stmt], axis=1))]
 
+        if self._stop_at == "product":
+            return self._truncated(out_pts, out_scal, ok)
+
         # ---- DDH (ddh.py:31-51) as 6 MSM rows over the input pks ----
         dt.domain_sep(b"DDHTupleProof")
         drng = DeviceTranscriptRng(dt.strobe)
@@ -570,6 +591,9 @@ class DeviceShuffleProver:
         ddh_z = sf.sub(ddh_r, sf.mul(ddh_chal, rho))
         out_pts += [ddh_b[:, 2:4]]
         out_scal += [sf.to_bytes_array(jnp.stack([ddh_chal, ddh_z], axis=1))]
+
+        if self._stop_at == "ddh":
+            return self._truncated(out_pts, out_scal, ok)
 
         # ---- Multi-exponentiation (multiexponential.py:116-190) ----
         # pk variant reencrypts under the real base pk; the commit variant
@@ -749,20 +773,13 @@ class DeviceShuffleProver:
         tp("_zs_tail", m - 1)
         return P, S, po, so
 
-    def prove(self, shuffles: Sequence, rngs: Sequence,
-              transcripts: Optional[Sequence] = None):
-        """Returns [(ShuffleProof, ShuffleStatement)] x B, byte-identical
-        to the host prover under the same per-lane RNG streams."""
+    def _pack_prove(self, shuffles: Sequence, rngs: Sequence,
+                    transcripts: Optional[Sequence] = None):
+        """Host-side packing shared by prove / prove_sharded / warmup:
+        consumes each lane's rng in the host prover's exact draw order and
+        returns the jit input arrays plus the static transcript frame."""
         from ..accounts.transcript import Transcript
         from ..accounts.prover import Prover as HostProver
-        from .shuffle import ShuffleProof, ShuffleStatement
-        from .hadamard import HadamardProof, HadamardStatement
-        from .product import (MultiHadamardProof, MultiHadamardStatement,
-                              ProductProof, ProductStatement, ZeroProof,
-                              ZeroStatement)
-        from .singlevalueproduct import SVPProof, SVPStatement
-        from .multiexponential import MultiexpoProof
-        from .ddh import DDHProof, DDHStatement
 
         m, N, B = self.m, self.N, self.batch
         if len(shuffles) != B or len(rngs) != B:
@@ -810,19 +827,111 @@ class DeviceShuffleProver:
             raise ValueError("lane transcripts diverged in framing")
         states = np.stack([np.frombuffer(s[0], np.uint8)
                            for s in snaps]).astype(np.int32)
+        arrays = (perm, tau_b.astype(np.int32), rho_b.astype(np.int32),
+                  r_b.astype(np.int32), ent.astype(np.int32),
+                  acc_in.astype(np.int32), acc_out.astype(np.int32),
+                  states)
+        return arrays, frame
 
+    def prove(self, shuffles: Sequence, rngs: Sequence,
+              transcripts: Optional[Sequence] = None):
+        """Returns [(ShuffleProof, ShuffleStatement)] x B, byte-identical
+        to the host prover under the same per-lane RNG streams."""
+        arrays, frame = self._pack_prove(shuffles, rngs, transcripts)
         pts_b, scal_b, ok = self._prove_jit(
-            jnp.asarray(perm), jnp.asarray(tau_b.astype(np.int32)),
-            jnp.asarray(rho_b.astype(np.int32)),
-            jnp.asarray(r_b.astype(np.int32)),
-            jnp.asarray(ent.astype(np.int32)),
-            jnp.asarray(acc_in.astype(np.int32)),
-            jnp.asarray(acc_out.astype(np.int32)),
-            jnp.asarray(states), frame)
+            *(jnp.asarray(a) for a in arrays), frame)
         if not bool(jnp.all(ok)):
             raise ValueError("invalid account point in shuffle prover input")
-        pts_np = np.asarray(pts_b).astype(np.uint8)
-        scal_np = np.asarray(scal_b).astype(np.uint8)
+        return self._decode(np.asarray(pts_b).astype(np.uint8),
+                            np.asarray(scal_b).astype(np.uint8))
+
+    def prove_sharded(self, shuffles: Sequence, rngs: Sequence, mesh,
+                      transcripts: Optional[Sequence] = None):
+        """prove() with the lane (batch) axis sharded over `mesh`.
+
+        Proof generation is embarrassingly parallel across lanes
+        (BASELINE config 5 at multi-chip scale): each device runs the full
+        one-program prover on its lane slice; there are no collectives —
+        outputs stay lane-sharded and are gathered at fetch. Byte-identical
+        to prove() (virtual-mesh identity test:
+        tests/test_sharded_prove.py)."""
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        ndev = mesh.devices.size
+        if self.batch % ndev:
+            raise ValueError(f"batch {self.batch} not divisible by "
+                             f"{ndev} devices")
+        arrays, frame = self._pack_prove(shuffles, rngs, transcripts)
+        axis = mesh.axis_names[0]
+        spec = P(axis)
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec,) * len(arrays),
+                 out_specs=spec)
+        def run(*args):
+            return self._build(*args, frame)
+
+        prev_pallas = self._use_pallas
+        self._use_pallas = False     # captured at trace time below
+        try:
+            # jit the shard_map: an eager shard_map call runs the body
+            # op-by-op per shard (measured 838 s for the range prover on
+            # the virtual mesh) and never reaches the persistent cache
+            pts_b, scal_b, ok = jax.jit(run)(
+                *(jnp.asarray(a) for a in arrays))
+        finally:
+            self._use_pallas = prev_pallas
+        if not bool(jnp.all(ok)):
+            raise ValueError("invalid account point in shuffle prover input")
+        return self._decode(np.asarray(pts_b).astype(np.uint8),
+                            np.asarray(scal_b).astype(np.uint8))
+
+    def warmup(self, transcripts: Optional[Sequence] = None) -> None:
+        """Compile (or load from the persistent cache) this shape bucket's
+        prover program without a real batch: zero-filled witnesses and
+        identity-encoded accounts drive the identical program (the lane
+        verdicts are discarded)."""
+        from ..accounts.transcript import Transcript
+        from ..accounts.prover import Prover as HostProver
+
+        m, N, B = self.m, self.N, self.batch
+        if transcripts is None:
+            transcripts = []
+            for _ in range(B):
+                t = Transcript(self.transcript_label)
+                HostProver(self.proof_label, t)
+                transcripts.append(t)
+        snaps = [snapshot_host_strobe(t.strobe) for t in transcripts]
+        frame = snaps[0][1:]
+        states = np.stack([np.frombuffer(s[0], np.uint8)
+                           for s in snaps]).astype(np.int32)
+        # zero bytes decode as the identity point and the zero scalar;
+        # permutation rows of 1s keep take_along_axis indices in range
+        arrays = (np.ones((B, N), np.int32),
+                  np.zeros((B, N, 32), np.int32),
+                  np.zeros((B, 32), np.int32),
+                  np.zeros((B, m, 32), np.int32),
+                  np.zeros((B, self.N_ENTROPY, 32), np.int32),
+                  np.zeros((B, 4 * N, 32), np.int32),
+                  np.zeros((B, 4 * N, 32), np.int32),
+                  states)
+        pts_b, _scal, _ok = self._prove_jit(
+            *(jnp.asarray(a) for a in arrays), frame)
+        np.asarray(pts_b)   # force execution through the axon tunnel
+
+    def _decode(self, pts_np: np.ndarray, scal_np: np.ndarray):
+        """Decode the jit outputs into [(ShuffleProof, ShuffleStatement)]."""
+        from .shuffle import ShuffleProof, ShuffleStatement
+        from .hadamard import HadamardProof, HadamardStatement
+        from .product import (MultiHadamardProof, MultiHadamardStatement,
+                              ProductProof, ProductStatement, ZeroProof,
+                              ZeroStatement)
+        from .singlevalueproduct import SVPProof, SVPStatement
+        from .multiexponential import MultiexpoProof
+        from .ddh import DDHProof, DDHStatement
+
+        m, B = self.m, self.batch
         P, S, npts, nsc = self._out_layout()
         assert pts_np.shape[1] == npts and scal_np.shape[1] == nsc
 
@@ -891,3 +1000,27 @@ class DeviceShuffleProver:
         `_zs_tail` slice appended by _build (after mh_cB)."""
         a, b_ = P["_zs_tail"]
         return [bytes(pts_np[i, j]) for j in range(a, b_)]
+
+
+# ---------------------------------------------------------------------------
+# production dispatch: shape-bucketed prover instances
+# ---------------------------------------------------------------------------
+
+_PROVER_CACHE: dict = {}
+
+
+def get_device_shuffle_prover(m: int, batch: int,
+                              proof_label: bytes = b"Shuffle",
+                              transcript_label: bytes = b"ShuffleProof"
+                              ) -> DeviceShuffleProver:
+    """Process-wide cache of compiled prover instances, keyed by shape.
+
+    A fresh DeviceShuffleProver re-traces (and, without a persistent-cache
+    hit, re-compiles) its one-program prover; every production call site
+    must reuse instances through this getter."""
+    key = (m, batch, bytes(proof_label), bytes(transcript_label))
+    p = _PROVER_CACHE.get(key)
+    if p is None:
+        p = _PROVER_CACHE.setdefault(
+            key, DeviceShuffleProver(m, batch, proof_label, transcript_label))
+    return p

@@ -994,7 +994,7 @@ class DeviceShuffleVerifier:
         collective is a one-integer psum of failure counts over ICI."""
         from functools import partial
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         ndev = mesh.devices.size
         if self.batch % ndev:

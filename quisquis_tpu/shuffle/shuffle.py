@@ -467,7 +467,7 @@ def batch_create_shuffle_proofs(shuffles, rngs=None, backend="host",
         return out
     if backend != "device-batched":
         raise ValueError(f"unknown backend {backend!r}")
-    from .device_prove import DeviceShuffleProver
+    from .device_prove import get_device_shuffle_prover
 
     groups: dict = {}
     for i, sh in enumerate(shuffles):
@@ -479,7 +479,7 @@ def batch_create_shuffle_proofs(shuffles, rngs=None, backend="host",
             raise ValueError(f"anonymity set size {n_acc} is not square")
         B = max(min_bucket, 1 << (len(idxs) - 1).bit_length())
         pad_idx = idxs + [idxs[0]] * (B - len(idxs))
-        dsp = DeviceShuffleProver(m, B)
+        dsp = get_device_shuffle_prover(m, B)
         lane_rngs = [rngs[i] if k < len(idxs) else SeededRng()
                      for k, i in enumerate(pad_idx)]
         proved = dsp.prove([shuffles[i] for i in pad_idx], lane_rngs)

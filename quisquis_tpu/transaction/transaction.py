@@ -354,7 +354,42 @@ def verify_transaction_r1cs(tx: Transaction, proof: TransactionProof,
         defer.verify(backend=backend, mesh=mesh)
 
 
-def create_transaction(
+@dataclass
+class _TxBuildCtx:
+    """Everything steps 1-8 produced that steps 9-11 still need.
+
+    Splitting the 12-step flow at the range-proof boundary lets
+    batch_create_transactions funnel MANY transactions' step-9 range
+    proofs through ONE device program (bulletproofs.device_prove) while
+    each transaction keeps its own Fiat-Shamir transcript."""
+    rng: SeededRng
+    n: int
+    qq_prover: Prover
+    qq_verifier: Verifier
+    defer: object
+    input_shuffle: Shuffle
+    updated_accounts: list
+    input_shuffle_proof: ShuffleProof
+    input_shuffle_statement: ShuffleStatement
+    account_vector: list
+    delta_accounts: list
+    epsilon_accounts: list
+    updated_delta_accounts: list
+    anonymity_index: int
+    delta_dleq: tuple
+    update_dlog: tuple
+    zero_dlog: tuple
+    sender_dleq: tuple
+    eps_sender_accounts: list
+    bl_rp_vector: list
+    scalars_bp_vector: list
+    bp_epsilon_vec: list
+    senders_count: int
+    receivers_count: int
+    anonymity_account_diff: int
+
+
+def _tx_pre_range(
     value_vector: Sequence[int],
     account_vector: Sequence[Account],
     sender_updated_balance: Sequence[int],
@@ -365,11 +400,9 @@ def create_transaction(
     senders_count: int,
     receivers_count: int,
     rng: Optional[SeededRng] = None,
-) -> Tuple[Transaction, TransactionProof]:
-    """The bulletproof transaction path (create_quuisquis_transaction_bulletproof).
-
-    Returns the assembled Transaction plus the TransactionProof bundle for
-    standalone / batched verification (verify_transaction below)."""
+) -> _TxBuildCtx:
+    """Steps 1-8 of the bulletproof transaction flow (transaction.rs:487-651):
+    everything before the aggregated range proofs."""
     if rng is None:
         rng = SeededRng()
     n = len(account_vector)
@@ -444,28 +477,55 @@ def create_transaction(
         updated_delta_account_sender, eps_sender_accounts, base_pk,
         zv_a, zsk_a, zr_a, x_a, qq_verifier)
 
-    # Step 9: range proofs over [sender updated balances || receiver amounts]
+    # Step 9 inputs: [sender updated balances || receiver amounts]
     bl_rp_vector = list(sender_updated_balance) + list(receiver_updated_balance)
     rec_rscalars_slice = delta_rscalar[senders_count:senders_count + receivers_count]
     scalars_bp_vector = list(eps_sender_rscalars) + list(rec_rscalars_slice)
-    range_proofs = qq_prover.verify_non_negative_sender_receiver_prover(
-        bl_rp_vector, scalars_bp_vector)
     receiver_eps_slice = epsilon_accounts[senders_count:
                                           senders_count + receivers_count]
     bp_epsilon_vec = list(eps_sender_accounts) + list(receiver_eps_slice)
+    return _TxBuildCtx(
+        rng=rng, n=n, qq_prover=qq_prover, qq_verifier=qq_verifier,
+        defer=defer, input_shuffle=input_shuffle,
+        updated_accounts=updated_accounts,
+        input_shuffle_proof=input_shuffle_proof,
+        input_shuffle_statement=input_shuffle_statement,
+        account_vector=list(account_vector),
+        delta_accounts=delta_accounts, epsilon_accounts=epsilon_accounts,
+        updated_delta_accounts=updated_delta_accounts,
+        anonymity_index=anonymity_index,
+        delta_dleq=(zv, zr1, zr2, x),
+        update_dlog=(z_vec, x_dlog),
+        zero_dlog=(z_zero, x_zero),
+        sender_dleq=(zv_a, zsk_a, zr_a, x_a),
+        eps_sender_accounts=list(eps_sender_accounts),
+        bl_rp_vector=bl_rp_vector, scalars_bp_vector=scalars_bp_vector,
+        bp_epsilon_vec=bp_epsilon_vec,
+        senders_count=senders_count, receivers_count=receivers_count,
+        anonymity_account_diff=anonymity_account_diff)
+
+
+def _tx_post_range(ctx: _TxBuildCtx,
+                   range_proofs: list) -> Tuple[Transaction, TransactionProof]:
+    """Steps 9 (verify side) through 11 (transaction.rs:652-749), given the
+    finished range proofs (host- or device-proved; the qq_prover transcript
+    must already be advanced past them)."""
+    qq_prover, qq_verifier, defer = ctx.qq_prover, ctx.qq_verifier, ctx.defer
     if len(range_proofs) == 1:
         qq_verifier.verify_non_negative_sender_receiver_bulletproof_batch_verifier(
-            bp_epsilon_vec, range_proofs[0], defer=defer)
+            ctx.bp_epsilon_vec, range_proofs[0], defer=defer)
     else:
         qq_verifier.verify_non_negative_sender_receiver_bulletproof_vector_verifier(
-            bp_epsilon_vec, range_proofs, defer=defer)
+            ctx.bp_epsilon_vec, range_proofs, defer=defer)
 
     # Step 10: output shuffle + proof (continues the same transcript,
     # transaction.rs:704-709)
-    output_shuffle = Shuffle.output_shuffle(updated_delta_accounts, rng=rng)
+    output_shuffle = Shuffle.output_shuffle(ctx.updated_delta_accounts,
+                                            rng=ctx.rng)
     output_accounts = output_shuffle.get_outputs_vector()
     output_shuffle_proof, output_shuffle_statement = \
-        ShuffleProof.create_shuffle_proof(qq_prover, output_shuffle, rng=rng)
+        ShuffleProof.create_shuffle_proof(qq_prover, output_shuffle,
+                                          rng=ctx.rng)
     output_shuffle_proof.verify(qq_verifier, output_shuffle_statement,
                                 output_shuffle.get_inputs_vector(),
                                 output_accounts, defer=defer)
@@ -473,24 +533,97 @@ def create_transaction(
 
     # Step 11: assemble
     tx = Transaction(
-        input_shuffle.get_inputs_vector(), updated_accounts, delta_accounts,
-        epsilon_accounts, updated_delta_accounts, output_accounts)
+        ctx.input_shuffle.get_inputs_vector(), ctx.updated_accounts,
+        ctx.delta_accounts, ctx.epsilon_accounts,
+        ctx.updated_delta_accounts, output_accounts)
     tx_proof = TransactionProof(
-        delta_dleq=(zv, zr1, zr2, x),
-        update_dlog=(z_vec, x_dlog),
-        zero_dlog=(z_zero, x_zero),
-        sender_dleq=(zv_a, zsk_a, zr_a, x_a),
-        epsilon_sender_accounts=list(eps_sender_accounts),
-        anonymity_accounts=list(account_vector[anonymity_index:n]),
+        delta_dleq=ctx.delta_dleq,
+        update_dlog=ctx.update_dlog,
+        zero_dlog=ctx.zero_dlog,
+        sender_dleq=ctx.sender_dleq,
+        epsilon_sender_accounts=list(ctx.eps_sender_accounts),
+        anonymity_accounts=list(ctx.account_vector[ctx.anonymity_index:ctx.n]),
         range_proofs=range_proofs,
-        input_shuffle_proof=input_shuffle_proof,
-        input_shuffle_statement=input_shuffle_statement,
+        input_shuffle_proof=ctx.input_shuffle_proof,
+        input_shuffle_statement=ctx.input_shuffle_statement,
         output_shuffle_proof=output_shuffle_proof,
         output_shuffle_statement=output_shuffle_statement,
-        senders_count=senders_count,
-        receivers_count=receivers_count,
-        anonymity_account_diff=anonymity_account_diff)
+        senders_count=ctx.senders_count,
+        receivers_count=ctx.receivers_count,
+        anonymity_account_diff=ctx.anonymity_account_diff)
     return tx, tx_proof
+
+
+def create_transaction(
+    value_vector: Sequence[int],
+    account_vector: Sequence[Account],
+    sender_updated_balance: Sequence[int],
+    sender_sk: Sequence[RistrettoSecretKey],
+    anonymity_comm_scalar: Sequence[int],
+    anonymity_account_diff: int,
+    receiver_updated_balance: Sequence[int],
+    senders_count: int,
+    receivers_count: int,
+    rng: Optional[SeededRng] = None,
+) -> Tuple[Transaction, TransactionProof]:
+    """The bulletproof transaction path (create_quuisquis_transaction_bulletproof,
+    transaction.rs:487-749).
+
+    Returns the assembled Transaction plus the TransactionProof bundle for
+    standalone / batched verification (verify_transaction below)."""
+    ctx = _tx_pre_range(
+        value_vector, account_vector, sender_updated_balance, sender_sk,
+        anonymity_comm_scalar, anonymity_account_diff,
+        receiver_updated_balance, senders_count, receivers_count, rng)
+    # Step 9: range proofs over [sender updated balances || receiver amounts]
+    range_proofs = ctx.qq_prover.verify_non_negative_sender_receiver_prover(
+        ctx.bl_rp_vector, ctx.scalars_bp_vector)
+    return _tx_post_range(ctx, range_proofs)
+
+
+def batch_create_transactions(requests: Sequence[dict],
+                              range_backend: str = "auto",
+                              ) -> List[Tuple[Transaction, TransactionProof]]:
+    """Build many transactions with their step-9 range proofs batched.
+
+    `requests`: create_transaction keyword dicts. Steps 1-8 and 10-11 run
+    per-transaction on the host (transcript-serial sigma/shuffle work);
+    step 9's aggregated range proofs — the dominant single step for
+    multi-value transactions — are collected across ALL transactions and
+    proved as ONE device program per (m, frame) bucket via
+    RangeProof.prove_batch. Byte-identical to looping create_transaction
+    (tests/test_device_transaction.py): each lane's transcript and RNG
+    stream are consumed in the host prover's exact order.
+
+    Transactions whose value count is not a power of two fall back to the
+    reference's per-value prove_single loop (prover.rs:580-588) on host.
+
+    The reference builds transactions strictly one at a time
+    (/root/reference/src/transaction/transaction.rs:487-749).
+    """
+    from ..bulletproofs.range_proof import RangeProof
+    from ..config import DEFAULT as _cfg
+
+    n_bits = _cfg.range_bits
+    ctxs = [_tx_pre_range(**req) for req in requests]
+    lanes, lane_ctx = [], []
+    results: List[Optional[list]] = [None] * len(ctxs)
+    for i, ctx in enumerate(ctxs):
+        size = len(ctx.bl_rp_vector)
+        if size & (size - 1) == 0:
+            # mirror verify_non_negative_sender_receiver_prover's framing
+            ctx.qq_prover.new_domain_sep(b"AggregateBulletProof")
+            lanes.append((ctx.qq_prover.transcript, ctx.bl_rp_vector,
+                          ctx.scalars_bp_vector, ctx.qq_prover._rng))
+            lane_ctx.append(i)
+        else:
+            results[i] = ctx.qq_prover.verify_non_negative_sender_receiver_prover(
+                ctx.bl_rp_vector, ctx.scalars_bp_vector)
+    if lanes:
+        proved = RangeProof.prove_batch(lanes, n_bits, backend=range_backend)
+        for i, (proof, _V) in zip(lane_ctx, proved):
+            results[i] = [proof]
+    return [_tx_post_range(ctx, rp) for ctx, rp in zip(ctxs, results)]
 
 
 def verify_transaction(tx: Transaction, proof: TransactionProof,

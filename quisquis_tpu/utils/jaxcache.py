@@ -3,10 +3,8 @@
 Per-shape compilation of the one-program device verifiers/provers costs
 minutes on a real chip (measured round 3/4: ~508 s cold for
 ``DeviceShuffleVerifier(m=8, batch=16)``, ~424 s for
-``DeviceRangeVerifier(n=64, m=1, batch=256)``). A production service must
-never pay that on its first request, and an executable compiled by the
-benchmark harness should be reusable by tests and serving. This module is
-the single switch:
+``DeviceRangeVerifier(n=64, m=1, batch=256)``). This module is the
+single switch:
 
 - :func:`enable_persistent_cache` points the process at ONE cache
   directory (``$QQ_JAX_CACHE``, else ``<repo>/.jax_cache`` in a checkout,
@@ -15,6 +13,16 @@ the single switch:
 - The device dispatcher classes expose ``warmup()`` (compile a shape
   bucket up front on zero-filled inputs); :func:`warmup` here drives them
   from a list of shape descriptors so a service can pre-compile at start.
+
+What the cache does and does NOT buy (measured round 5,
+tools/cache_probe.py): the cache key is deterministic and HITS across
+processes — a hit skips the XLA compile itself. On this rig's PJRT
+tunnel, a fresh process still pays re-tracing (~1 min), executable
+deserialization (~2 min) and first-execution finalization (~4 min) per
+heavy shape, so ``warmup()`` makes FIRST REQUESTS fast only within the
+process that ran it. A deployment that needs fresh processes served
+warm runs ONE resident ``quisquis_tpu.daemon`` process (it calls
+:func:`warmup` at start) and connects thin clients to it.
 
 The reference has no analog (single-process Rust, no JIT); this is pure
 TPU-deployment infrastructure.
@@ -75,15 +83,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 #:   ("shuffle", m, batch)            — DeviceShuffleVerifier
 #:   ("range", n, m, batch)           — DeviceRangeVerifier
 #:   ("range-prove", n, m, batch)     — DeviceRangeProver
+#:   ("shuffle-prove", m, batch)      — DeviceShuffleProver
 ShapeDesc = Tuple
 
 
 def warmup(shapes: Iterable[ShapeDesc], verbose: bool = False) -> None:
     """Compile device dispatcher programs for the given shape buckets.
 
-    After ``warmup``, the first real request on each listed shape runs at
-    steady-state latency (the compile either happened here or was loaded
-    from the persistent cache).
+    After ``warmup``, the first real request on each listed shape IN THIS
+    PROCESS runs at steady-state latency. It does not make other
+    processes fast (see the module docstring); run warmup inside the
+    resident ``quisquis_tpu.daemon`` for that.
     """
     import time
 
@@ -103,6 +113,10 @@ def warmup(shapes: Iterable[ShapeDesc], verbose: bool = False) -> None:
             from ..bulletproofs.device_prove import get_device_range_prover
 
             get_device_range_prover(desc[1], desc[2], desc[3]).warmup()
+        elif kind == "shuffle-prove":
+            from ..shuffle.device_prove import get_device_shuffle_prover
+
+            get_device_shuffle_prover(desc[1], desc[2]).warmup()
         else:
             raise ValueError(f"unknown warmup shape kind {kind!r}")
         if verbose:

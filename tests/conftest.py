@@ -60,8 +60,10 @@ def _drop_compiled_executables():
     # so nothing pins stale executables
     try:
         from quisquis_tpu.shuffle import device_verify as _sdv
+        from quisquis_tpu.shuffle import device_prove as _sdp
 
         _sdv._VERIFIER_CACHE.clear()
+        _sdp._PROVER_CACHE.clear()
     except Exception:
         pass
     try:

@@ -103,12 +103,66 @@ def profile_prove(m: int, B: int):
               f"{B / dt:.1f} proofs/s", flush=True)
 
 
+PROVE_PHASES = ["commits", "hadamard", "product", "ddh", "full"]
+
+
+def profile_prove_phases(m: int, B: int, phases=None):
+    """Per-phase wall-clock attribution of the device shuffle PROVER: the
+    program truncated after each sub-argument (DeviceShuffleProver's
+    `_stop_at` knob), steady-state best-of-3 per variant. Each variant is
+    its own executable (~minutes cold); re-runs load from the cache.
+    Usage: ... <m> <B> prove-phases [phase ...]"""
+    import numpy as np
+    import jax.numpy as jnp
+    from quisquis_tpu.shuffle.device_prove import DeviceShuffleProver
+
+    rng = SeededRng(seed=b"profile-prove")
+    accounts = []
+    for _ in range(m * m):
+        sk = RistrettoSecretKey.random(rng)
+        pk = RistrettoPublicKey.from_secret_key(sk, rng)
+        acc, _ = Account.generate_account(pk, rng)
+        accounts.append(acc)
+    shuffles = [Shuffle.input_shuffle(accounts, rng=SeededRng(seed=b"s%d" % i))
+                for i in range(B)]
+    packer = DeviceShuffleProver(m, B)
+    arrays, frame = packer._pack_prove(
+        shuffles, [SeededRng(seed=b"l%d" % i) for i in range(B)])
+    jargs = [jnp.asarray(a) for a in arrays]
+    results = {}
+    for phase in (phases or PROVE_PHASES):
+        dsp = DeviceShuffleProver(m, B)
+        dsp._stop_at = None if phase == "full" else phase
+        t0 = time.time()
+        np.asarray(dsp._prove_jit(*jargs, frame)[0])
+        print(f"{phase:>10}: compile+first {time.time() - t0:6.1f}s",
+              flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(dsp._prove_jit(*jargs, frame)[0])
+            best = min(best, time.time() - t0)
+        results[phase] = best
+        print(f"{phase:>10}: steady {best * 1e3:7.1f} ms", flush=True)
+    prev = 0.0
+    print(f"\nphase attribution (m={m}, B={B}):")
+    for phase in (phases or PROVE_PHASES):
+        if phase in results:
+            delta = results[phase] - prev
+            print(f"  {phase:>10}: cum {results[phase]*1e3:7.1f} ms  "
+                  f"marginal {delta*1e3:+8.1f} ms")
+            prev = results[phase]
+
+
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     phases = sys.argv[3:] or PHASES
     if phases == ["prove"]:
         profile_prove(m, B)
+        return
+    if phases and phases[0] == "prove-phases":
+        profile_prove_phases(m, B, phases[1:] or None)
         return
     entries = build_entries(m, B)
     results = {}
